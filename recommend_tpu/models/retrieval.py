@@ -1,0 +1,185 @@
+"""Multi-interest retrieval tower (KuaiFormer-capability).
+
+Pipeline (kuaiformer model.py:220-552): feature-embed the history →
+adaptive compression (256→55 tokens) → append k learnable query tokens →
+N pre-norm transformer blocks → RMSNorm → the k query-token outputs are the
+user's interest vectors. Scoring = dot(candidates, interests), max over
+interests (argmax strategy, model.py:530-552).
+
+TPU-first reformulations:
+  - Bidirectional mode is one batched pass (no per-group loops).
+  - The causal *seq-to-seq* mode (reference model.py:302-500 materializes a
+    [B·(L-1), L+k, d] tensor — an O(L²) memory blowup, SURVEY.md §3.2) is
+    instead ONE pass over an interleaved sequence ``[items(T); query-groups
+    (T·k)]`` with a block attention mask: item t attends causally to items ≤ t;
+    query token (t, j) attends to items ≤ t and its own k-token group. Memory
+    is O(T·(1+k)) tokens instead of O(T²).
+"""
+
+from __future__ import annotations
+
+from typing import Dict, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+from flax import linen as nn
+
+from recommend_tpu.config import RetrievalConfig
+from recommend_tpu.ops.attention import NEG_INF
+from recommend_tpu.ops.compression import AdaptiveCompression
+from recommend_tpu.ops.embedding import FeatureEmbedding
+from recommend_tpu.ops.normalization import RMSNorm
+from recommend_tpu.ops.transformer import TransformerBlock
+
+
+def _single_prediction_bias(
+    token_valid: jax.Array, num_query: int, causal: bool
+) -> jax.Array:
+    """Attention bias for the [items(T); queries(k)] sequence, [B,1,L,L]."""
+    b, t = token_valid.shape
+    l = t + num_query
+    valid = jnp.concatenate(
+        [token_valid, jnp.ones((b, num_query), dtype=bool)], axis=1
+    )  # [B, L]
+    bias = jnp.where(valid[:, None, None, :], 0.0, NEG_INF)  # [B,1,1,L]
+    bias = jnp.broadcast_to(bias, (b, 1, l, l))
+    if causal:
+        # items causal among themselves; query tokens see all items + each other
+        pos = jnp.arange(l)
+        is_query = pos >= t
+        allowed = (pos[None, :] <= pos[:, None]) | is_query[None, :] & is_query[:, None]
+        allowed = allowed | is_query[:, None]  # queries see every item
+        bias = bias + jnp.where(allowed[None, None], 0.0, NEG_INF)
+    return bias
+
+
+def _interleaved_causal_bias(
+    token_valid: jax.Array, num_query: int
+) -> jax.Array:
+    """Bias for the all-positions causal mode.
+
+    Sequence layout: ``[items 0..T-1 ; q(0,0..k-1) ; q(1,0..k-1) ; ...]`` of
+    length T·(1+k). Rules: item t ← items ≤ t (causal); query (t, j) ← items
+    ≤ t and queries in its own group. Invalid (padded) items are masked as keys
+    everywhere. Returns [B, 1, L, L].
+    """
+    b, t = token_valid.shape
+    k = num_query
+    l = t + t * k
+    pos = jnp.arange(l)
+    is_item = pos < t
+    # absolute "time" of each slot: items → own index; query group g → g
+    q_time = (pos - t) // jnp.maximum(k, 1)
+    time = jnp.where(is_item, pos, q_time)
+    q_group = jnp.where(is_item, -1 - pos, q_time)  # unique negatives for items
+    causal_ok = is_item[None, :] & (time[None, :] <= time[:, None])
+    group_ok = (~is_item[:, None]) & (q_group[None, :] == q_group[:, None])
+    allowed = causal_ok | group_ok
+    bias = jnp.where(allowed[None, None], 0.0, NEG_INF)  # [1,1,L,L]
+    key_valid = jnp.concatenate(
+        [token_valid, jnp.ones((b, t * k), dtype=bool)], axis=1
+    )
+    return bias + jnp.where(key_valid[:, None, None, :], 0.0, NEG_INF)
+
+
+class RetrievalTower(nn.Module):
+    config: RetrievalConfig
+
+    def setup(self):
+        cfg = self.config
+        pdt = jnp.dtype(cfg.param_dtype)
+        self.embedder = FeatureEmbedding(cfg, name="embed")
+        self.compressor = AdaptiveCompression(cfg, name="compress")
+        self.query_tokens = self.param(
+            "query_tokens",
+            nn.initializers.normal(stddev=0.02),
+            (cfg.num_query_tokens, cfg.embed_dim),
+            pdt,
+        )
+        block = TransformerBlock
+        if cfg.use_remat:
+            block = nn.remat(TransformerBlock)
+        self.blocks = [
+            block(
+                embed_dim=cfg.embed_dim,
+                num_heads=cfg.num_heads,
+                ffn_dim=cfg.ffn_dim,
+                dropout_rate=cfg.dropout_rate,
+                param_dtype=pdt,
+                name=f"block_{i}",
+            )
+            for i in range(cfg.num_layers)
+        ]
+        self.final_norm = RMSNorm(name="final_norm", param_dtype=pdt)
+
+    def _tokens(self, features, valid):
+        x = self.embedder(features)  # [B, L, D]
+        return self.compressor(x, valid)  # [B, T, D], [B, T]
+
+    def __call__(
+        self,
+        features: Dict[str, jax.Array],
+        valid: jax.Array,
+        deterministic: bool = True,
+    ) -> jax.Array:
+        """Single-prediction mode → [B, k, D] interest vectors
+        (kuaiformer `_call_bidirectional_single_sequence`, model.py:274-300;
+        causal single-sequence when cfg.use_causal_mask)."""
+        cfg = self.config
+        tokens, token_valid = self._tokens(features, valid)
+        b, t, d = tokens.shape
+        k = cfg.num_query_tokens
+        q = jnp.broadcast_to(
+            self.query_tokens.astype(tokens.dtype)[None], (b, k, d)
+        )
+        x = jnp.concatenate([tokens, q], axis=1)
+        bias = _single_prediction_bias(token_valid, k, cfg.use_causal_mask)
+        for blk in self.blocks:
+            x = blk(x, bias=bias, deterministic=deterministic)
+        return self.final_norm(x[:, t:])  # [B, k, D]
+
+    def all_position_interests(
+        self,
+        features: Dict[str, jax.Array],
+        valid: jax.Array,
+        deterministic: bool = True,
+    ) -> jax.Array:
+        """Causal seq-to-seq mode → [B, T, k, D]: interests after every
+        compressed-token prefix, in ONE pass (replaces the reference's
+        O(L²)-memory gather construction, model.py:302-500)."""
+        cfg = self.config
+        tokens, token_valid = self._tokens(features, valid)
+        b, t, d = tokens.shape
+        k = cfg.num_query_tokens
+        q = jnp.broadcast_to(
+            self.query_tokens.astype(tokens.dtype)[None, None], (b, t, k, d)
+        ).reshape(b, t * k, d)
+        x = jnp.concatenate([tokens, q], axis=1)  # [B, T(1+k), D]
+        bias = _interleaved_causal_bias(token_valid, k)
+        for blk in self.blocks:
+            x = blk(x, bias=bias, deterministic=deterministic)
+        out = self.final_norm(x[:, t:])
+        return out.reshape(b, t, k, d)
+
+    def item_embeddings(self, features: Dict[str, jax.Array]) -> jax.Array:
+        """Candidate-side tower: same feature embedding as history items
+        (reference uses raw video_id embeddings, train.py:231; we use the full
+        fused item embedding for a symmetric two-tower geometry)."""
+        return self.embedder(features)
+
+    @staticmethod
+    def compute_scores(interests: jax.Array, candidates: jax.Array) -> jax.Array:
+        """max over interests of dot(candidate, interest) — argmax strategy
+        (kuaiformer model.py:530-552).
+
+        interests: [B, k, D]; candidates: [N, D] (shared) or [B, N, D].
+        Returns [B, N]."""
+        if candidates.ndim == 2:
+            s = jnp.einsum(
+                "bkd,nd->bkn", interests, candidates, preferred_element_type=jnp.float32
+            )
+        else:
+            s = jnp.einsum(
+                "bkd,bnd->bkn", interests, candidates, preferred_element_type=jnp.float32
+            )
+        return jnp.max(s, axis=1)

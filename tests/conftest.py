@@ -1,0 +1,24 @@
+"""Test harness: force an 8-device virtual CPU mesh before JAX initializes.
+
+This is the idiomatic TPU substitute for a fake cluster (SURVEY.md §4): all
+data-parallel / sharded-embedding tests run on 8 virtual CPU devices so CI
+needs no hardware; the driver separately dry-runs the multi-chip path.
+"""
+
+import os
+
+os.environ.setdefault("JAX_PLATFORMS", "cpu")
+
+import jax
+
+jax.config.update("jax_platforms", "cpu")
+jax.config.update("jax_num_cpu_devices", 8)
+
+import pytest  # noqa: E402
+
+
+@pytest.fixture(scope="session")
+def devices():
+    ds = jax.devices()
+    assert len(ds) == 8, ds
+    return ds
