@@ -191,6 +191,13 @@ class RankingConfig:
         return dict(self.feature_vocab_sizes)[feature]
 
     @property
+    def active_compute_dtype(self) -> str:
+        """compute_dtype when mixed precision is on, else float32 — the
+        `use_mixed_precision` flag gates behavior (unlike the reference's
+        decorative flag, oneTrans config.py:66)."""
+        return self.compute_dtype if self.use_mixed_precision else "float32"
+
+    @property
     def non_seq_features(self) -> Tuple[str, ...]:
         return self.user_features + self.item_features + self.context_features
 

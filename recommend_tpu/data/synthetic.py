@@ -119,8 +119,22 @@ def make_ranking_data(
         ids = np.where(mask, ids, 0)
         sequences[sf] = ids
         seq_lengths[sf] = lens
-    # label structure: ctr ~ Bernoulli; cvr only possible when ctr=1
-    ctr = (rng.random(num_samples) < 0.3).astype(np.float32)
+    # label structure: ctr depends on observable features (so models can
+    # learn / AUC is meaningful — the reference's labels are pure Bernoulli,
+    # data_loader.py:147-150, which makes its own AUC numbers noise);
+    # cvr only possible when ctr=1.
+    def norm_feat(name: str) -> np.ndarray:
+        v = cfg.vocab_size(name)
+        return non_seq[name].astype(np.float64) / v - 0.5
+
+    logit = -1.0
+    weights = {"price_bucket": -2.0, "hour": 1.5, "category": 1.0, "age_bucket": 1.0}
+    for f, w in weights.items():
+        if f in non_seq:
+            logit = logit + w * norm_feat(f)
+    logit = logit + rng.normal(0, 0.5, num_samples)  # irreducible noise
+    p_ctr = 1.0 / (1.0 + np.exp(-logit))
+    ctr = (rng.random(num_samples) < p_ctr).astype(np.float32)
     labels = {}
     for t in cfg.tasks:
         if t == "ctr":

@@ -1,0 +1,332 @@
+"""Unified ranking transformer (OneTrans-capability).
+
+Architecture (oneTrans model.py:26-416; paper translation:95-151):
+tokenize [S; NS] → N pre-norm blocks with **mixed parameterization** (shared
+Q/K/V/FFN weights for S-tokens, per-token dedicated stacks for the n_ns
+NS-tokens) and **pyramid tail-query pruning** (per-layer keep-ratio; queries
+are the tail of the sequence, K/V the full sequence) → RMSNorm → per-task MLP
+heads on the last token.
+
+TPU-first reformulations (SURVEY.md §7 phase 4):
+  - The reference's per-token Python loops over projections
+    (model.py:84-88, 153-162 — untraceable under tf.function) become stacked
+    einsums: NS weights live as [n_ns, d, h, dh] / [n_ns, d, f] tensors and
+    all NS tokens are projected in ONE `einsum('bnd,ndhk->bnhk')`.
+  - The token layout is paper-correct [S; NS] (the reference inverts it,
+    SURVEY.md O4). With the causal band mask this makes the whole S-side
+    trunk independent of NS tokens, so the S K/V per layer can be computed
+    once per request and reused across candidates and requests — the
+    cross-candidate / cross-request KV cache (translation:144-151) — realized
+    here by the `encode_s` / `score_with_cache` pair. The equivalence
+    `full_call(x)[:, -n_ns:] == ns-path(cache)` is tested.
+  - Pyramid keep-lengths are static Python ints (from config ratios), so XLA
+    sees fixed shapes per layer; the band mask covers tail-queries-over-full-
+    K/V exactly (`causal_band_mask(q_len, kv_len)`).
+"""
+
+from __future__ import annotations
+
+from typing import Any, Dict, List, Optional, Sequence, Tuple
+
+import jax
+import jax.numpy as jnp
+from flax import linen as nn
+
+from recommend_tpu.config import RankingConfig
+from recommend_tpu.models.tokenizer import UnifiedTokenizer
+from recommend_tpu.ops.attention import (
+    causal_band_mask,
+    dot_product_attention,
+    padding_mask_bias,
+)
+from recommend_tpu.ops.normalization import RMSNorm
+
+
+def pyramid_keep_lengths(cfg: RankingConfig, total_len: int) -> List[int]:
+    """Static per-layer kept-token counts (oneTrans PyramidScheduler,
+    model.py:280-302). Ratios apply to the initial length; the kept window is
+    never smaller than the NS block and never grows."""
+    lens = []
+    cur = total_len
+    for r in cfg.pyramid_ratios:
+        keep = max(int(round(total_len * r)), cfg.num_ns_tokens)
+        keep = min(keep, cur)
+        lens.append(keep)
+        cur = keep
+    return lens
+
+
+class MixedBlock(nn.Module):
+    """Pre-norm block with mixed shared(S)/dedicated(NS) parameterization.
+
+    Three entry points share one parameter set:
+      - ``full_call``: training/eval path over the whole [S; NS] stream with
+        tail-query pruning.
+      - ``s_call``: S-only trunk (shared weights), returning the S K/V for
+        caching plus the pruned S output.
+      - ``ns_call``: NS-only path consuming cached S K/V — the per-candidate
+        serving hot path.
+    """
+
+    config: RankingConfig
+
+    def setup(self):
+        cfg = self.config
+        d, h = cfg.embed_dim, cfg.num_heads
+        dh = d // h
+        n = cfg.num_ns_tokens
+        f = cfg.ffn_dim
+        pdt = jnp.dtype(cfg.param_dtype)
+        init = nn.initializers.lecun_normal()
+
+        cdt = jnp.dtype(cfg.active_compute_dtype)
+        self.attn_norm = RMSNorm(name="attn_norm", param_dtype=pdt)
+        self.ffn_norm = RMSNorm(name="ffn_norm", param_dtype=pdt)
+        # shared (S-token) projections
+        self.q_s = nn.DenseGeneral((h, dh), axis=-1, name="q_s", param_dtype=pdt, dtype=cdt)
+        self.k_s = nn.DenseGeneral((h, dh), axis=-1, name="k_s", param_dtype=pdt, dtype=cdt)
+        self.v_s = nn.DenseGeneral((h, dh), axis=-1, name="v_s", param_dtype=pdt, dtype=cdt)
+        # dedicated per-NS-token stacks: [n, d, h, dh]
+        self.q_ns = self.param("q_ns", init, (n, d, h * dh), pdt)
+        self.k_ns = self.param("k_ns", init, (n, d, h * dh), pdt)
+        self.v_ns = self.param("v_ns", init, (n, d, h * dh), pdt)
+        self.o_proj = nn.DenseGeneral(d, axis=(-2, -1), name="o_proj", param_dtype=pdt, dtype=cdt)
+        # shared FFN (GELU 2-layer, oneTrans model.py:131-141)
+        self.ffn_s_in = nn.Dense(f, name="ffn_s_in", param_dtype=pdt, dtype=cdt)
+        self.ffn_s_out = nn.Dense(d, name="ffn_s_out", param_dtype=pdt, dtype=cdt)
+        # dedicated NS FFN stacks
+        self.ffn_ns_in = self.param("ffn_ns_in", init, (n, d, f), pdt)
+        self.ffn_ns_in_b = self.param("ffn_ns_in_b", nn.initializers.zeros, (n, f), pdt)
+        self.ffn_ns_out = self.param("ffn_ns_out", init, (n, f, d), pdt)
+        self.ffn_ns_out_b = self.param("ffn_ns_out_b", nn.initializers.zeros, (n, d), pdt)
+        self.dropout = nn.Dropout(cfg.dropout_rate)
+
+    # -- projection helpers ------------------------------------------------
+    def _heads(self, x: jax.Array) -> jax.Array:
+        h = self.config.num_heads
+        return x.reshape(*x.shape[:-1], h, x.shape[-1] // h)
+
+    def _proj_ns(self, w: jax.Array, x_ns: jax.Array) -> jax.Array:
+        """[n,d,h·dh] stacked weights × [B,n,d] → [B,n,h,dh] — one einsum
+        replacing the reference's per-token loop (oneTrans model.py:84-88)."""
+        y = jnp.einsum(
+            "bnd,ndk->bnk", x_ns, w.astype(x_ns.dtype),
+            preferred_element_type=jnp.float32,
+        ).astype(x_ns.dtype)
+        return self._heads(y)
+
+    def _ffn_ns(self, x_ns: jax.Array) -> jax.Array:
+        h = jnp.einsum(
+            "bnd,ndf->bnf", x_ns, self.ffn_ns_in.astype(x_ns.dtype),
+            preferred_element_type=jnp.float32,
+        ).astype(x_ns.dtype) + self.ffn_ns_in_b.astype(x_ns.dtype)
+        h = jax.nn.gelu(h)
+        return jnp.einsum(
+            "bnf,nfd->bnd", h, self.ffn_ns_out.astype(x_ns.dtype),
+            preferred_element_type=jnp.float32,
+        ).astype(x_ns.dtype) + self.ffn_ns_out_b.astype(x_ns.dtype)
+
+    def _ffn_s(self, x: jax.Array) -> jax.Array:
+        return self.ffn_s_out(jax.nn.gelu(self.ffn_s_in(x)))
+
+    # -- entry points ------------------------------------------------------
+    def full_call(
+        self,
+        x: jax.Array,  # [B, L, d]; last n_ns tokens are NS
+        s_len: int,
+        keep_len: int,
+        key_valid: jax.Array,  # [B, L]
+        deterministic: bool = True,
+    ) -> jax.Array:
+        """Tail-`keep_len` queries over full-K/V; returns [B, keep_len, d]."""
+        cfg = self.config
+        n = cfg.num_ns_tokens
+        b, l, d = x.shape
+        assert s_len + n == l and n <= keep_len <= l
+        hx = self.attn_norm(x)
+        h_s, h_ns = hx[:, :s_len], hx[:, s_len:]
+        k = jnp.concatenate([self.k_s(h_s), self._proj_ns(self.k_ns, h_ns)], axis=1)
+        v = jnp.concatenate([self.v_s(h_s), self._proj_ns(self.v_ns, h_ns)], axis=1)
+        keep_s = keep_len - n
+        q_s_tail = self.q_s(h_s[:, s_len - keep_s :]) if keep_s > 0 else None
+        q_ns = self._proj_ns(self.q_ns, h_ns)
+        q = jnp.concatenate([q_s_tail, q_ns], axis=1) if q_s_tail is not None else q_ns
+        bias = (
+            causal_band_mask(keep_len, l)[None, None]
+            + padding_mask_bias(key_valid)
+        )
+        attn = dot_product_attention(q, k, v, bias)
+        y = self.o_proj(attn)
+        y = self.dropout(y, deterministic=deterministic)
+        x = x[:, l - keep_len :] + y
+        hx = self.ffn_norm(x)
+        f_s = self._ffn_s(hx[:, :keep_s]) if keep_s > 0 else None
+        f_ns = self._ffn_ns(hx[:, keep_s:])
+        f = jnp.concatenate([f_s, f_ns], axis=1) if f_s is not None else f_ns
+        f = self.dropout(f, deterministic=deterministic)
+        return x + f
+
+    def s_call(
+        self,
+        x_s: jax.Array,  # [B, Ls, d]
+        keep_s: int,
+        key_valid: jax.Array,  # [B, Ls]
+        deterministic: bool = True,
+    ) -> Tuple[Optional[jax.Array], jax.Array, jax.Array]:
+        """S-only trunk step. Returns (pruned S output or None, k_s, v_s).
+        k_s/v_s are the S keys/values of THIS layer's input — exactly what the
+        full path computes, so they are cacheable for the NS path."""
+        hx = self.attn_norm(x_s)
+        k_s = self.k_s(hx)
+        v_s = self.v_s(hx)
+        if keep_s <= 0:
+            return None, k_s, v_s
+        ls = x_s.shape[1]
+        q = self.q_s(hx[:, ls - keep_s :])
+        bias = causal_band_mask(keep_s, ls)[None, None] + padding_mask_bias(key_valid)
+        attn = dot_product_attention(q, k_s, v_s, bias)
+        y = self.dropout(self.o_proj(attn), deterministic=deterministic)
+        x = x_s[:, ls - keep_s :] + y
+        f = self.dropout(self._ffn_s(self.ffn_norm(x)), deterministic=deterministic)
+        return x + f, k_s, v_s
+
+    def ns_call(
+        self,
+        x_ns: jax.Array,  # [B, n, d]
+        k_s: Optional[jax.Array],  # [Bc, Ls, H, Dh] cached (Bc broadcastable)
+        v_s: Optional[jax.Array],
+        s_key_valid: Optional[jax.Array],  # [Bc, Ls]
+        deterministic: bool = True,
+    ) -> jax.Array:
+        """NS-token path over cached S K/V — the per-candidate hot path."""
+        b = x_ns.shape[0]
+        hx = self.attn_norm(x_ns)
+        q = self._proj_ns(self.q_ns, hx)
+        k_ns = self._proj_ns(self.k_ns, hx)
+        v_ns = self._proj_ns(self.v_ns, hx)
+        if k_s is not None:
+            k_s = jnp.broadcast_to(k_s, (b,) + k_s.shape[1:]).astype(k_ns.dtype)
+            v_s = jnp.broadcast_to(v_s, (b,) + v_s.shape[1:]).astype(v_ns.dtype)
+            k = jnp.concatenate([k_s, k_ns], axis=1)
+            v = jnp.concatenate([v_s, v_ns], axis=1)
+            key_valid = jnp.concatenate(
+                [
+                    jnp.broadcast_to(s_key_valid, (b, s_key_valid.shape[1])),
+                    jnp.ones((b, x_ns.shape[1]), dtype=bool),
+                ],
+                axis=1,
+            )
+        else:
+            k, v = k_ns, v_ns
+            key_valid = jnp.ones((b, x_ns.shape[1]), dtype=bool)
+        n, l = x_ns.shape[1], k.shape[1]
+        bias = causal_band_mask(n, l)[None, None] + padding_mask_bias(key_valid)
+        attn = dot_product_attention(q, k, v, bias)
+        y = self.dropout(self.o_proj(attn), deterministic=deterministic)
+        x = x_ns + y
+        f = self.dropout(self._ffn_ns(self.ffn_norm(x)), deterministic=deterministic)
+        return x + f
+
+
+class RankingModel(nn.Module):
+    config: RankingConfig
+
+    def setup(self):
+        cfg = self.config
+        pdt = jnp.dtype(cfg.param_dtype)
+        self.tokenizer = UnifiedTokenizer(cfg, name="tokenizer")
+        # activation recompute (`use_remat`, oneTrans config.py:66-69 flag —
+        # implemented here, unlike the reference) wraps each block's full path
+        # static_argnums index the method's full arg list including self:
+        # (self, x, s_len, keep_len, key_valid, deterministic)
+        block_cls = (
+            nn.remat(MixedBlock, static_argnums=(2, 3, 5), methods=("full_call",))
+            if cfg.use_remat
+            else MixedBlock
+        )
+        self.blocks = [
+            block_cls(cfg, name=f"block_{i}") for i in range(cfg.num_layers)
+        ]
+        self.final_norm = RMSNorm(name="final_norm", param_dtype=pdt)
+        self.heads = {
+            t: [
+                nn.Dense(cfg.task_head_hidden, name=f"head_{t}_hidden", param_dtype=pdt),
+                nn.Dense(1, name=f"head_{t}_out", param_dtype=pdt),
+            ]
+            for t in cfg.tasks
+        }
+
+    def _apply_heads(self, last_token: jax.Array) -> Dict[str, jax.Array]:
+        out = {}
+        x32 = last_token.astype(jnp.float32)
+        for t in self.config.tasks:
+            hidden, final = self.heads[t]
+            h = jax.nn.gelu(hidden(x32))
+            out[t] = final(h)[..., 0]  # [B] logits
+        return out
+
+    def __call__(
+        self,
+        non_seq: Dict[str, jax.Array],
+        sequences: Dict[str, jax.Array],
+        seq_valid: Dict[str, jax.Array],
+        deterministic: bool = True,
+    ) -> Dict[str, jax.Array]:
+        """Training/eval forward → per-task logits [B]."""
+        cfg = self.config
+        x, valid = self.tokenizer(non_seq, sequences, seq_valid)
+        total = x.shape[1]
+        keeps = pyramid_keep_lengths(cfg, total)
+        s_len = total - cfg.num_ns_tokens
+        for blk, keep in zip(self.blocks, keeps):
+            x = blk.full_call(x, s_len, keep, valid, deterministic)
+            valid = valid[:, -keep:]
+            s_len = keep - cfg.num_ns_tokens
+        x = self.final_norm(x)
+        return self._apply_heads(x[:, -1])
+
+    # -- KV-cache serving decomposition -----------------------------------
+    def encode_s(
+        self,
+        sequences: Dict[str, jax.Array],
+        seq_valid: Dict[str, jax.Array],
+    ) -> List[Optional[Tuple[jax.Array, jax.Array, jax.Array]]]:
+        """Phase 1 (once per request): run the S trunk, returning per-layer
+        (k_s, v_s, s_key_valid) — the cross-candidate KV cache
+        (translation:144-151)."""
+        cfg = self.config
+        x, valid = self.tokenizer.s_tokens(sequences, seq_valid)
+        total = x.shape[1] + cfg.num_ns_tokens
+        keeps = pyramid_keep_lengths(cfg, total)
+        cache: List[Optional[Tuple[jax.Array, jax.Array, jax.Array]]] = []
+        for blk, keep in zip(self.blocks, keeps):
+            if x is None or x.shape[1] == 0:
+                cache.append(None)
+                continue
+            keep_s = keep - cfg.num_ns_tokens
+            y, k_s, v_s = blk.s_call(x, keep_s, valid)
+            cache.append((k_s, v_s, valid))
+            x = y
+            if y is not None:
+                valid = valid[:, -keep_s:]
+        return cache
+
+    def score_with_cache(
+        self,
+        cache: List[Optional[Tuple[jax.Array, jax.Array, jax.Array]]],
+        non_seq: Dict[str, jax.Array],
+    ) -> Dict[str, jax.Array]:
+        """Phase 2 (per candidate batch): NS-only pass over cached S K/V.
+        `non_seq` holds C candidate rows; the cache batch dim broadcasts."""
+        x = self.tokenizer.ns_tokens(non_seq)
+        for blk, entry in zip(self.blocks, cache):
+            if entry is None:
+                x = blk.ns_call(x, None, None, None)
+            else:
+                k_s, v_s, s_valid = entry
+                x = blk.ns_call(x, k_s, v_s, s_valid)
+        x = self.final_norm(x)
+        return self._apply_heads(x[:, -1])
+
+    def param_count(self, params) -> int:
+        return sum(int(p.size) for p in jax.tree_util.tree_leaves(params))

@@ -98,7 +98,8 @@ class RetrievalTower(nn.Module):
         )
         block = TransformerBlock
         if cfg.use_remat:
-            block = nn.remat(TransformerBlock)
+            # (self, x, bias, deterministic) — deterministic must be static
+            block = nn.remat(TransformerBlock, static_argnums=(3,))
         self.blocks = [
             block(
                 embed_dim=cfg.embed_dim,
@@ -135,7 +136,7 @@ class RetrievalTower(nn.Module):
         x = jnp.concatenate([tokens, q], axis=1)
         bias = _single_prediction_bias(token_valid, k, cfg.use_causal_mask)
         for blk in self.blocks:
-            x = blk(x, bias=bias, deterministic=deterministic)
+            x = blk(x, bias, deterministic)
         return self.final_norm(x[:, t:])  # [B, k, D]
 
     def all_position_interests(
@@ -157,7 +158,7 @@ class RetrievalTower(nn.Module):
         x = jnp.concatenate([tokens, q], axis=1)  # [B, T(1+k), D]
         bias = _interleaved_causal_bias(token_valid, k)
         for blk in self.blocks:
-            x = blk(x, bias=bias, deterministic=deterministic)
+            x = blk(x, bias, deterministic)
         out = self.final_norm(x[:, t:])
         return out.reshape(b, t, k, d)
 

@@ -1,0 +1,78 @@
+"""Optimizers and LR schedules.
+
+- Retrieval: AdamW with warmup + cosine decay (kuaiformer train.py:49-65,
+  90-98 — the reference assigns the LR manually per step; optax schedules do
+  this inside the compiled update).
+- Ranking: the paper's dual-optimizer spec (oneTrans config.py:39-52,
+  translation:190): dense params → RMSProp(momentum), sparse embedding tables
+  → Adagrad, with global-norm gradient clipping. Realized with
+  ``optax.multi_transform`` partitioned by parameter path.
+"""
+
+from __future__ import annotations
+
+from typing import Any, Callable
+
+import jax
+import optax
+
+from recommend_tpu.config import RankingConfig, RetrievalConfig
+
+
+def warmup_cosine_schedule(
+    peak_lr: float, warmup_steps: int, total_steps: int, final_scale: float = 0.01
+) -> optax.Schedule:
+    """Linear warmup → cosine decay (kuaiformer LearningRateScheduler,
+    train.py:49-65)."""
+    return optax.warmup_cosine_decay_schedule(
+        init_value=0.0,
+        peak_value=peak_lr,
+        warmup_steps=warmup_steps,
+        decay_steps=max(total_steps, warmup_steps + 1),
+        end_value=peak_lr * final_scale,
+    )
+
+
+def make_retrieval_optimizer(
+    cfg: RetrievalConfig, total_steps: int = 100_000
+) -> optax.GradientTransformation:
+    sched = warmup_cosine_schedule(cfg.learning_rate, cfg.warmup_steps, total_steps)
+    return optax.adamw(
+        learning_rate=sched,
+        b1=cfg.adam_b1,
+        b2=cfg.adam_b2,
+        weight_decay=cfg.weight_decay,
+    )
+
+
+def _is_sparse_path(path: tuple) -> bool:
+    """Embedding tables are the 'sparse' group: any param under an `nn.Embed`
+    (leaf name 'embedding') or inside the feature-embedding subtree."""
+    keys = [getattr(p, "key", getattr(p, "name", str(p))) for p in path]
+    return any(k == "embedding" for k in keys)
+
+
+def make_ranking_optimizer(cfg: RankingConfig) -> optax.GradientTransformation:
+    """Dual optimizer: sparse/adagrad + dense/rmsprop, global-norm clip.
+
+    The reference clips per-tensor (oneTrans train.py:133-135); we use the
+    global-norm clip the paper specifies (clip 90, config.py:52).
+    """
+    dense = {
+        "rmsprop": optax.rmsprop(cfg.dense_lr, momentum=cfg.dense_momentum),
+        "adam": optax.adam(cfg.dense_lr),
+    }[cfg.dense_optimizer]
+    sparse = {
+        "adagrad": optax.adagrad(cfg.sparse_lr),
+        "sgd": optax.sgd(cfg.sparse_lr),
+    }[cfg.sparse_optimizer]
+
+    def label_fn(params) -> Any:
+        return jax.tree_util.tree_map_with_path(
+            lambda path, _: "sparse" if _is_sparse_path(path) else "dense", params
+        )
+
+    return optax.chain(
+        optax.clip_by_global_norm(cfg.gradient_clip_norm),
+        optax.multi_transform({"dense": dense, "sparse": sparse}, label_fn),
+    )

@@ -1,0 +1,179 @@
+"""Ranking trainer — capability parity with OneTransTrainer
+(oneTrans train.py:19-420): multi-task BCE loop, dual optimizer
+(sparse-adagrad / dense-rmsprop with momentum, config.py:39-52), global-norm
+gradient clipping, streaming per-task AUC/accuracy for train & validation,
+best-model tracking with early stopping, and checkpointing with config +
+history snapshots.
+"""
+
+from __future__ import annotations
+
+import time
+from functools import partial
+from typing import Any, Dict, Iterator, NamedTuple, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import optax
+
+from recommend_tpu.config import RankingConfig
+from recommend_tpu.models.losses import multi_task_bce_loss
+from recommend_tpu.models.ranking import RankingModel
+from recommend_tpu.training.checkpoint import CheckpointManager
+from recommend_tpu.training.metrics import streaming_auc
+from recommend_tpu.training.optimizer import make_ranking_optimizer
+from recommend_tpu.utils.logging import MetricLogger
+
+
+class TrainState(NamedTuple):
+    params: Any
+    opt_state: Any
+    step: jax.Array
+
+
+def _device_batch(batch: Dict) -> Dict:
+    return jax.tree_util.tree_map(jnp.asarray, batch)
+
+
+class RankingTrainer:
+    def __init__(
+        self,
+        cfg: RankingConfig,
+        checkpoint_dir: Optional[str] = None,
+        log_dir: Optional[str] = None,
+    ):
+        self.cfg = cfg
+        self.model = RankingModel(cfg)
+        self.optimizer = make_ranking_optimizer(cfg)
+        self.ckpt = CheckpointManager(checkpoint_dir) if checkpoint_dir else None
+        self.logger = MetricLogger(log_dir)
+        self.history: Dict[str, list] = {"train": [], "val": []}
+        self._auc = streaming_auc()
+
+        def loss_fn(params, batch, dropout_rng):
+            logits = self.model.apply(
+                params,
+                batch["non_seq"],
+                batch["sequences"],
+                batch["seq_valid"],
+                deterministic=False,
+                rngs={"dropout": dropout_rng},
+            )
+            loss, metrics = multi_task_bce_loss(logits, batch["labels"])
+            return loss, (metrics, logits)
+
+        @partial(jax.jit, donate_argnums=(0,))
+        def train_step(state: TrainState, batch, rng):
+            dropout_rng = jax.random.fold_in(rng, state.step)
+            grads, (metrics, _) = jax.grad(loss_fn, has_aux=True)(
+                state.params, batch, dropout_rng
+            )
+            updates, opt_state = self.optimizer.update(
+                grads, state.opt_state, state.params
+            )
+            params = optax.apply_updates(state.params, updates)
+            metrics["grad_norm"] = optax.global_norm(grads)
+            return TrainState(params, opt_state, state.step + 1), metrics
+
+        @jax.jit
+        def eval_step(params, batch, auc_states):
+            logits = self.model.apply(
+                params, batch["non_seq"], batch["sequences"], batch["seq_valid"]
+            )
+            loss, metrics = multi_task_bce_loss(logits, batch["labels"])
+            init, update, _ = self._auc
+            new_states = {
+                t: update(auc_states[t], jax.nn.sigmoid(logits[t]), batch["labels"][t])
+                for t in logits
+            }
+            return metrics, new_states
+
+        self._train_step = train_step
+        self._eval_step = eval_step
+
+    def init_state(self, rng: jax.Array, sample_batch: Dict) -> TrainState:
+        batch = _device_batch(sample_batch)
+        params = jax.jit(self.model.init)(
+            rng, batch["non_seq"], batch["sequences"], batch["seq_valid"]
+        )
+        opt_state = self.optimizer.init(params)
+        state = TrainState(params, opt_state, jnp.zeros((), jnp.int32))
+        if self.ckpt is not None:
+            restored = self.ckpt.restore(params, opt_state)
+            if restored is not None:
+                step, params, opt_state = restored
+                state = TrainState(params, opt_state, jnp.asarray(step, jnp.int32))
+        return state
+
+    def evaluate(self, state: TrainState, val_batches: Iterator[Dict]) -> Dict[str, float]:
+        init, _, compute = self._auc
+        auc_states = {t: init() for t in self.cfg.tasks}
+        accum: Dict[str, list] = {}
+        for batch in val_batches:
+            metrics, auc_states = self._eval_step(
+                state.params, _device_batch(batch), auc_states
+            )
+            for k, v in metrics.items():
+                accum.setdefault(k, []).append(float(v))
+        out = {k: float(np.mean(v)) for k, v in accum.items()}
+        for t in self.cfg.tasks:
+            out[f"{t}_auc"] = float(compute(auc_states[t]))
+        return out
+
+    def train(
+        self,
+        train_iter: Iterator[Dict],
+        num_steps: int,
+        val_fn=None,
+        eval_every: int = 1000,
+        log_every: int = 100,
+        early_stop_patience: Optional[int] = None,
+        seed: int = 0,
+    ) -> TrainState:
+        rng = jax.random.key(seed)
+        first = next(train_iter)
+        state = self.init_state(rng, first)
+        start_step = int(state.step)
+        best_val = -float("inf")
+        bad_evals = 0
+        t0 = time.time()
+        batch = first
+        for i in range(start_step, num_steps):
+            state, metrics = self._train_step(state, _device_batch(batch), rng)
+            if (i + 1) % log_every == 0:
+                m = {k: float(v) for k, v in metrics.items()}
+                dt = time.time() - t0
+                m["steps_per_s"] = log_every / max(dt, 1e-9)
+                m["examples_per_s"] = m["steps_per_s"] * self.cfg.batch_size
+                self.logger.log("train", i + 1, m)
+                self.history["train"].append({"step": i + 1, **m})
+                t0 = time.time()
+            if val_fn is not None and (i + 1) % eval_every == 0:
+                vm = self.evaluate(state, val_fn())
+                self.logger.log("val", i + 1, vm)
+                self.history["val"].append({"step": i + 1, **vm})
+                # early stopping on primary-task AUC (oneTrans train.py:264-267)
+                primary = vm.get(f"{self.cfg.tasks[0]}_auc", -vm.get("loss", 0.0))
+                if primary > best_val:
+                    best_val = primary
+                    bad_evals = 0
+                    if self.ckpt is not None:
+                        self.ckpt.save(
+                            i + 1, state.params, state.opt_state,
+                            config_dict=self.cfg.to_dict(), history=self.history,
+                        )
+                else:
+                    bad_evals += 1
+                    if early_stop_patience and bad_evals >= early_stop_patience:
+                        break
+                t0 = time.time()
+            if i + 1 < num_steps:
+                batch = next(train_iter)
+        if self.ckpt is not None:
+            self.ckpt.save(
+                int(state.step), state.params, state.opt_state,
+                config_dict=self.cfg.to_dict(), history=self.history,
+            )
+            self.ckpt.wait()
+        return state

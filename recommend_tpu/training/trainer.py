@@ -1,0 +1,172 @@
+"""Training loops.
+
+RetrievalTrainer — capability parity with KuaiFormerTrainer (kuaiformer
+train.py:67-332): jitted train step (the `@tf.function` GradientTape loop
+becomes one compiled XLA program), warmup+cosine LR inside the optimizer,
+per-interval validation (HR@K over in-batch candidates, train.py:216-253),
+keep-5 checkpointing with auto-restore, and metric history.
+
+TPU-first: the step function is pure `(state, batch) → (state, metrics)` and
+jit-compiled with donated state; all metrics stay on device until logged.
+"""
+
+from __future__ import annotations
+
+import time
+from functools import partial
+from typing import Any, Dict, Iterator, NamedTuple, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import optax
+
+from recommend_tpu.config import RetrievalConfig
+from recommend_tpu.models.losses import in_batch_softmax_loss
+from recommend_tpu.models.retrieval import RetrievalTower
+from recommend_tpu.training.checkpoint import CheckpointManager
+from recommend_tpu.training.metrics import retrieval_metric_suite
+from recommend_tpu.training.optimizer import make_retrieval_optimizer
+from recommend_tpu.utils.logging import MetricLogger
+
+
+class TrainState(NamedTuple):
+    params: Any
+    opt_state: Any
+    step: jax.Array
+
+
+def _device_batch(batch: Dict) -> Dict:
+    return jax.tree_util.tree_map(jnp.asarray, batch)
+
+
+class RetrievalTrainer:
+    def __init__(
+        self,
+        cfg: RetrievalConfig,
+        total_steps: int = 100_000,
+        checkpoint_dir: Optional[str] = None,
+        log_dir: Optional[str] = None,
+    ):
+        self.cfg = cfg
+        self.model = RetrievalTower(cfg)
+        self.optimizer = make_retrieval_optimizer(cfg, total_steps)
+        self.ckpt = CheckpointManager(checkpoint_dir) if checkpoint_dir else None
+        self.logger = MetricLogger(log_dir)
+        self.history: Dict[str, list] = {"train": [], "val": []}
+
+        def loss_fn(params, batch, dropout_rng):
+            interests = self.model.apply(
+                params,
+                batch["history"],
+                batch["history_valid"],
+                deterministic=False,
+                rngs={"dropout": dropout_rng},
+            )
+            item_emb = self.model.apply(
+                params, batch["target"], method=RetrievalTower.item_embeddings
+            )
+            pop = batch["target_popularity"] if cfg.use_logq_correction else None
+            loss, metrics = in_batch_softmax_loss(
+                interests, item_emb, pop, label_smoothing=cfg.label_smoothing
+            )
+            return loss, metrics
+
+        @partial(jax.jit, donate_argnums=(0,))
+        def train_step(state: TrainState, batch, rng) -> tuple:
+            dropout_rng = jax.random.fold_in(rng, state.step)
+            grads, metrics = jax.grad(loss_fn, has_aux=True)(
+                state.params, batch, dropout_rng
+            )
+            updates, opt_state = self.optimizer.update(
+                grads, state.opt_state, state.params
+            )
+            params = optax.apply_updates(state.params, updates)
+            metrics["grad_norm"] = optax.global_norm(grads)
+            return TrainState(params, opt_state, state.step + 1), metrics
+
+        @jax.jit
+        def eval_step(params, batch):
+            interests = self.model.apply(
+                params, batch["history"], batch["history_valid"]
+            )
+            item_emb = self.model.apply(
+                params, batch["target"], method=RetrievalTower.item_embeddings
+            )
+            # in-batch candidates: row i's true item is column i
+            scores = RetrievalTower.compute_scores(interests, item_emb)
+            b = scores.shape[0]
+            ks = tuple(k for k in (1, 5, 10, 50, 100) if k <= b)
+            return retrieval_metric_suite(scores, jnp.arange(b), ks=ks)
+
+        self._train_step = train_step
+        self._eval_step = eval_step
+
+    def init_state(self, rng: jax.Array, sample_batch: Dict) -> TrainState:
+        batch = _device_batch(sample_batch)
+        # jit the init: op-by-op dispatch of a full model init is pathologically
+        # slow on remote-device transports (observed 177 s → <10 s)
+        params = jax.jit(self.model.init)(
+            rng, batch["history"], batch["history_valid"]
+        )
+        opt_state = self.optimizer.init(params)
+        state = TrainState(params, opt_state, jnp.zeros((), jnp.int32))
+        if self.ckpt is not None:
+            restored = self.ckpt.restore(params, opt_state)
+            if restored is not None:
+                step, params, opt_state = restored
+                state = TrainState(params, opt_state, jnp.asarray(step, jnp.int32))
+        return state
+
+    def evaluate(self, state: TrainState, val_batches: Iterator[Dict]) -> Dict[str, float]:
+        accum: Dict[str, list] = {}
+        for batch in val_batches:
+            m = self._eval_step(state.params, _device_batch(batch))
+            for k, v in m.items():
+                accum.setdefault(k, []).append(float(v))
+        return {k: float(np.mean(v)) for k, v in accum.items()}
+
+    def train(
+        self,
+        train_iter: Iterator[Dict],
+        num_steps: int,
+        val_fn=None,
+        eval_every: int = 1000,
+        log_every: int = 100,
+        seed: int = 0,
+    ) -> TrainState:
+        rng = jax.random.key(seed)
+        first = next(train_iter)
+        state = self.init_state(rng, first)
+        start_step = int(state.step)
+        t0 = time.time()
+        batch = first
+        for i in range(start_step, num_steps):
+            state, metrics = self._train_step(state, _device_batch(batch), rng)
+            if (i + 1) % log_every == 0:
+                m = {k: float(v) for k, v in metrics.items()}
+                dt = time.time() - t0
+                m["steps_per_s"] = log_every / max(dt, 1e-9)
+                m["examples_per_s"] = m["steps_per_s"] * self.cfg.batch_size
+                self.logger.log("train", i + 1, m)
+                self.history["train"].append({"step": i + 1, **m})
+                t0 = time.time()
+            if val_fn is not None and (i + 1) % eval_every == 0:
+                vm = self.evaluate(state, val_fn())
+                self.logger.log("val", i + 1, vm)
+                self.history["val"].append({"step": i + 1, **vm})
+                t0 = time.time()
+            if self.ckpt is not None and (i + 1) % eval_every == 0:
+                self.ckpt.save(
+                    i + 1, state.params, state.opt_state,
+                    config_dict=self.cfg.to_dict(), history=self.history,
+                )
+            if i + 1 < num_steps:
+                batch = next(train_iter)
+        if self.ckpt is not None:
+            self.ckpt.save(
+                num_steps, state.params, state.opt_state,
+                config_dict=self.cfg.to_dict(), history=self.history,
+            )
+            self.ckpt.wait()
+        return state

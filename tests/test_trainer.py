@@ -1,0 +1,67 @@
+import itertools
+
+import numpy as np
+import pytest
+
+from recommend_tpu.config import get_config
+from recommend_tpu.data.pipeline import retrieval_batches
+from recommend_tpu.data.synthetic import make_retrieval_data
+from recommend_tpu.training.trainer import RetrievalTrainer
+
+
+@pytest.fixture(scope="module")
+def tiny_cfg():
+    return get_config(
+        "retrieval_small",
+        embed_dim=32,
+        num_layers=1,
+        num_heads=2,
+        ffn_dim=64,
+        max_seq_len=16,
+        compression_schedule=((8, 4), (8, 1)),
+        video_vocab_size=500,
+        warmup_steps=5,
+        batch_size=16,
+        dropout_rate=0.0,
+        compute_dtype="float32",
+    )
+
+
+def test_training_reduces_loss(tiny_cfg, tmp_path):
+    data = make_retrieval_data(tiny_cfg, num_users=50, num_videos=200, seed=0)
+    it = retrieval_batches(data, tiny_cfg, batch_size=16, seed=0)
+    trainer = RetrievalTrainer(
+        tiny_cfg, total_steps=60, checkpoint_dir=str(tmp_path / "ckpt"),
+        log_dir=str(tmp_path / "logs"),
+    )
+    state = trainer.train(it, num_steps=60, log_every=10)
+    losses = [h["loss"] for h in trainer.history["train"]]
+    assert losses[-1] < losses[0], losses
+    assert int(state.step) == 60
+
+
+def test_checkpoint_restore_resumes(tiny_cfg, tmp_path):
+    data = make_retrieval_data(tiny_cfg, num_users=30, num_videos=100, seed=1)
+    ckpt_dir = str(tmp_path / "ckpt2")
+    it = retrieval_batches(data, tiny_cfg, batch_size=16, seed=0)
+    t1 = RetrievalTrainer(tiny_cfg, total_steps=20, checkpoint_dir=ckpt_dir)
+    t1.train(it, num_steps=10, log_every=5)
+    t1.ckpt.wait()
+    # a fresh trainer restores at step 10 and continues
+    t2 = RetrievalTrainer(tiny_cfg, total_steps=20, checkpoint_dir=ckpt_dir)
+    it2 = retrieval_batches(data, tiny_cfg, batch_size=16, seed=1)
+    state = t2.init_state(__import__("jax").random.key(0), next(it2))
+    assert int(state.step) == 10
+
+
+def test_evaluate_returns_metrics(tiny_cfg):
+    data = make_retrieval_data(tiny_cfg, num_users=30, num_videos=100, seed=2)
+    trainer = RetrievalTrainer(tiny_cfg, total_steps=10)
+    it = retrieval_batches(data, tiny_cfg, batch_size=16, seed=0)
+    import jax
+
+    state = trainer.init_state(jax.random.key(0), next(it))
+    val = itertools.islice(retrieval_batches(data, tiny_cfg, batch_size=16, seed=3), 2)
+    metrics = trainer.evaluate(state, val)
+    assert "recall@1" in metrics and "mrr" in metrics
+    assert 0.0 <= metrics["mrr"] <= 1.0
