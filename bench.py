@@ -1,0 +1,76 @@
+"""Benchmark harness — prints ONE JSON line for the driver.
+
+Measures steady-state training throughput (examples/s/chip) of an
+OneTrans-S-like ranking config on the available device, and compares against
+the reference's published per-GPU training throughput:
+unoptimized OneTrans-S = 407 ms / step at per-GPU batch 2048 on H100
+(rank/scaling_up/oneTrans/translation/complete_translation.md:250, 190)
+→ 5032 examples/s/GPU. ``vs_baseline`` = ours / 5032.
+"""
+
+from __future__ import annotations
+
+import json
+import time
+
+import jax
+import jax.numpy as jnp
+
+BASELINE_EXAMPLES_PER_S = 2048 / 0.407  # reference unoptimized OneTrans-S, H100
+
+
+def main():
+    from recommend_tpu.config import get_config
+    from recommend_tpu.data.pipeline import ranking_batches
+    from recommend_tpu.data.synthetic import make_ranking_data
+    from recommend_tpu.training.ranking_trainer import RankingTrainer
+
+    # OneTrans-S-like: 6 layers, d=256, 12 NS tokens, ~350 S tokens
+    cfg = get_config(
+        "ranking_base",
+        embed_dim=256,
+        num_layers=6,
+        num_heads=4,
+        ffn_dim=1024,
+        num_ns_tokens=12,
+        pyramid_ratios=(0.5, 0.3, 0.2, 0.1, 0.05, 0.03),
+        batch_size=512,
+        use_mixed_precision=True,
+        use_remat=False,
+        dropout_rate=0.0,
+        dense_lr=1e-3,
+        dense_momentum=0.9,
+        sparse_lr=0.05,
+    )
+    data = make_ranking_data(cfg, num_samples=4096, max_seq_per_feature=116, seed=0)
+    it = ranking_batches(data, cfg, batch_size=cfg.batch_size, seed=0)
+    trainer = RankingTrainer(cfg)
+    first = next(it)
+    state = trainer.init_state(jax.random.key(0), first)
+
+    # warmup / compile. NOTE: on the axon remote transport
+    # jax.block_until_ready does NOT synchronize — only a host fetch does.
+    # Run enough steps per fetch to amortize the ~28 ms tunnel round-trip.
+    rng = jax.random.key(0)
+    state, m = trainer._train_step(state, trainer._put_batch(first), rng)
+    float(m["loss"])  # forces completion
+
+    steps = 100
+    batches = [trainer._put_batch(next(it)) for _ in range(10)]
+    t0 = time.perf_counter()
+    for i in range(steps):
+        state, m = trainer._train_step(state, batches[i % 10], rng)
+    final_loss = float(m["loss"])  # host fetch == true barrier
+    dt = time.perf_counter() - t0
+    ex_per_s = steps * cfg.batch_size / dt
+
+    print(json.dumps({
+        "metric": "rank_train_examples_per_s_per_chip",
+        "value": round(ex_per_s, 1),
+        "unit": "examples/s",
+        "vs_baseline": round(ex_per_s / BASELINE_EXAMPLES_PER_S, 3),
+    }))
+
+
+if __name__ == "__main__":
+    main()

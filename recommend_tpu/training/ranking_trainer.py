@@ -42,8 +42,10 @@ class RankingTrainer:
         cfg: RankingConfig,
         checkpoint_dir: Optional[str] = None,
         log_dir: Optional[str] = None,
+        mesh=None,
     ):
         self.cfg = cfg
+        self.mesh = mesh
         self.model = RankingModel(cfg)
         self.optimizer = make_ranking_optimizer(cfg)
         self.ckpt = CheckpointManager(checkpoint_dir) if checkpoint_dir else None
@@ -92,12 +94,32 @@ class RankingTrainer:
         self._train_step = train_step
         self._eval_step = eval_step
 
+    def _put_batch(self, batch: Dict) -> Dict:
+        if self.mesh is not None:
+            from recommend_tpu.parallel.sharding import shard_batch
+
+            return shard_batch(self.mesh, batch)
+        return _device_batch(batch)
+
     def init_state(self, rng: jax.Array, sample_batch: Dict) -> TrainState:
-        batch = _device_batch(sample_batch)
-        params = jax.jit(self.model.init)(
-            rng, batch["non_seq"], batch["sequences"], batch["seq_valid"]
-        )
-        opt_state = self.optimizer.init(params)
+        batch = self._put_batch(sample_batch)
+        if self.mesh is not None:
+            from recommend_tpu.parallel.sharding import param_shardings
+
+            shapes = jax.eval_shape(
+                self.model.init, rng,
+                batch["non_seq"], batch["sequences"], batch["seq_valid"],
+            )
+            pshard = param_shardings(self.mesh, shapes)
+            params = jax.jit(self.model.init, out_shardings=pshard)(
+                rng, batch["non_seq"], batch["sequences"], batch["seq_valid"]
+            )
+            opt_state = jax.jit(self.optimizer.init)(params)
+        else:
+            params = jax.jit(self.model.init)(
+                rng, batch["non_seq"], batch["sequences"], batch["seq_valid"]
+            )
+            opt_state = self.optimizer.init(params)
         state = TrainState(params, opt_state, jnp.zeros((), jnp.int32))
         if self.ckpt is not None:
             restored = self.ckpt.restore(params, opt_state)
@@ -112,7 +134,7 @@ class RankingTrainer:
         accum: Dict[str, list] = {}
         for batch in val_batches:
             metrics, auc_states = self._eval_step(
-                state.params, _device_batch(batch), auc_states
+                state.params, self._put_batch(batch), auc_states
             )
             for k, v in metrics.items():
                 accum.setdefault(k, []).append(float(v))
@@ -140,7 +162,7 @@ class RankingTrainer:
         t0 = time.time()
         batch = first
         for i in range(start_step, num_steps):
-            state, metrics = self._train_step(state, _device_batch(batch), rng)
+            state, metrics = self._train_step(state, self._put_batch(batch), rng)
             if (i + 1) % log_every == 0:
                 m = {k: float(v) for k, v in metrics.items()}
                 dt = time.time() - t0

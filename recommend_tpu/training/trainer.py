@@ -47,8 +47,16 @@ class RetrievalTrainer:
         total_steps: int = 100_000,
         checkpoint_dir: Optional[str] = None,
         log_dir: Optional[str] = None,
+        mesh=None,
     ):
+        """`mesh`: optional jax.sharding.Mesh('data','model'). When given, the
+        batch is sharded over `data` (DP — gradient psum compiles onto ICI),
+        large embedding tables row-shard over `model`, and the in-batch
+        softmax keeps *global-batch* semantics automatically because the whole
+        step is one GSPMD program (solving the LogQ-at-DP-scale hazard,
+        SURVEY.md §7 hard parts)."""
         self.cfg = cfg
+        self.mesh = mesh
         self.model = RetrievalTower(cfg)
         self.optimizer = make_retrieval_optimizer(cfg, total_steps)
         self.ckpt = CheckpointManager(checkpoint_dir) if checkpoint_dir else None
@@ -102,14 +110,34 @@ class RetrievalTrainer:
         self._train_step = train_step
         self._eval_step = eval_step
 
+    def _put_batch(self, batch: Dict) -> Dict:
+        if self.mesh is not None:
+            from recommend_tpu.parallel.sharding import shard_batch
+
+            return shard_batch(self.mesh, batch)
+        return _device_batch(batch)
+
     def init_state(self, rng: jax.Array, sample_batch: Dict) -> TrainState:
-        batch = _device_batch(sample_batch)
+        batch = self._put_batch(sample_batch)
         # jit the init: op-by-op dispatch of a full model init is pathologically
         # slow on remote-device transports (observed 177 s → <10 s)
-        params = jax.jit(self.model.init)(
-            rng, batch["history"], batch["history_valid"]
-        )
-        opt_state = self.optimizer.init(params)
+        if self.mesh is not None:
+            from recommend_tpu.parallel.sharding import param_shardings
+
+            shapes = jax.eval_shape(
+                self.model.init, rng, batch["history"], batch["history_valid"]
+            )
+            pshard = param_shardings(self.mesh, shapes)
+            params = jax.jit(self.model.init, out_shardings=pshard)(
+                rng, batch["history"], batch["history_valid"]
+            )
+            # optimizer buffers inherit the param shardings via GSPMD propagation
+            opt_state = jax.jit(self.optimizer.init)(params)
+        else:
+            params = jax.jit(self.model.init)(
+                rng, batch["history"], batch["history_valid"]
+            )
+            opt_state = self.optimizer.init(params)
         state = TrainState(params, opt_state, jnp.zeros((), jnp.int32))
         if self.ckpt is not None:
             restored = self.ckpt.restore(params, opt_state)
@@ -121,7 +149,7 @@ class RetrievalTrainer:
     def evaluate(self, state: TrainState, val_batches: Iterator[Dict]) -> Dict[str, float]:
         accum: Dict[str, list] = {}
         for batch in val_batches:
-            m = self._eval_step(state.params, _device_batch(batch))
+            m = self._eval_step(state.params, self._put_batch(batch))
             for k, v in m.items():
                 accum.setdefault(k, []).append(float(v))
         return {k: float(np.mean(v)) for k, v in accum.items()}
@@ -142,7 +170,7 @@ class RetrievalTrainer:
         t0 = time.time()
         batch = first
         for i in range(start_step, num_steps):
-            state, metrics = self._train_step(state, _device_batch(batch), rng)
+            state, metrics = self._train_step(state, self._put_batch(batch), rng)
             if (i + 1) % log_every == 0:
                 m = {k: float(v) for k, v in metrics.items()}
                 dt = time.time() - t0

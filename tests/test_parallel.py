@@ -1,0 +1,105 @@
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.sharding import PartitionSpec as P
+
+from recommend_tpu.config import get_config
+from recommend_tpu.data.pipeline import ranking_batches, retrieval_batches
+from recommend_tpu.data.synthetic import make_ranking_data, make_retrieval_data
+from recommend_tpu.parallel.mesh import make_mesh
+from recommend_tpu.parallel.sharding import param_shardings, shard_batch
+from recommend_tpu.training.ranking_trainer import RankingTrainer
+from recommend_tpu.training.trainer import RetrievalTrainer
+from tests.test_ranking_model import tiny_ranking_cfg
+
+
+def test_make_mesh(devices):
+    m = make_mesh()
+    assert m.shape == {"data": 8, "model": 1}
+    m2 = make_mesh(model=2)
+    assert m2.shape == {"data": 4, "model": 2}
+
+
+def small_retrieval_cfg(**kw):
+    base = dict(
+        embed_dim=32, num_layers=1, num_heads=2, ffn_dim=64, max_seq_len=16,
+        compression_schedule=((8, 4), (8, 1)), video_vocab_size=500,
+        warmup_steps=5, batch_size=16, dropout_rate=0.0, compute_dtype="float32",
+    )
+    base.update(kw)
+    return get_config("retrieval_small", **base)
+
+
+def test_embedding_row_sharding_rule(devices):
+    cfg = small_retrieval_cfg(video_vocab_size=32768)
+    mesh = make_mesh(model=2)
+    data = make_retrieval_data(cfg, num_users=10, num_videos=100, seed=0)
+    batch = next(iter(retrieval_batches(data, cfg, batch_size=8, num_epochs=1)))
+    trainer = RetrievalTrainer(cfg, total_steps=10, mesh=mesh)
+    state = trainer.init_state(jax.random.key(0), batch)
+    emb = state.params["params"]["embed"]["video_id"]["embedding"]
+    spec = emb.sharding.spec
+    assert tuple(spec) == ("model", None), spec
+    # small tables stay replicated
+    cat = state.params["params"]["embed"]["category"]["embedding"]
+    assert tuple(cat.sharding.spec) in ((), (None,), (None, None))
+
+
+def test_dp_training_matches_single_device(devices):
+    """One DP step over the 8-device mesh must equal the single-device step
+    (global-batch in-batch-softmax semantics preserved under sharding)."""
+    cfg = small_retrieval_cfg()
+    data = make_retrieval_data(cfg, num_users=40, num_videos=300, seed=0)
+    batch = next(iter(retrieval_batches(data, cfg, batch_size=16, num_epochs=1)))
+
+    t_single = RetrievalTrainer(cfg, total_steps=10)
+    s0 = t_single.init_state(jax.random.key(0), batch)
+    s1, m_single = t_single._train_step(
+        s0, jax.tree_util.tree_map(jnp.asarray, batch), jax.random.key(0)
+    )
+
+    mesh = make_mesh()  # 8-way data parallel
+    t_dp = RetrievalTrainer(cfg, total_steps=10, mesh=mesh)
+    d0 = t_dp.init_state(jax.random.key(0), batch)
+    d1, m_dp = t_dp._train_step(d0, t_dp._put_batch(batch), jax.random.key(0))
+
+    np.testing.assert_allclose(
+        float(m_single["loss"]), float(m_dp["loss"]), rtol=1e-5
+    )
+    # params after one update agree
+    for (pa, a), (pb, b) in zip(
+        jax.tree_util.tree_leaves_with_path(s1.params),
+        jax.tree_util.tree_leaves_with_path(d1.params),
+    ):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=2e-5), pa
+
+
+def test_ranking_dp_with_model_axis(devices):
+    """Ranking trains on a 4x2 mesh: batch over data, NS stacks over model."""
+    cfg = tiny_ranking_cfg(batch_size=8, num_ns_tokens=4)
+    mesh = make_mesh(data=4, model=2)
+    data = make_ranking_data(cfg, num_samples=64, max_seq_per_feature=8, seed=0)
+    it = ranking_batches(data, cfg, batch_size=8, seed=0)
+    trainer = RankingTrainer(cfg, mesh=mesh)
+    state = trainer.init_state(jax.random.key(0), next(it))
+    # NS stacks sharded over model axis (n_ns=4 divisible by 2)
+    qns = state.params["params"]["block_0"]["q_ns"]
+    assert tuple(qns.sharding.spec)[:1] == ("model",), qns.sharding.spec
+    state, metrics = trainer._train_step(
+        state, trainer._put_batch(next(it)), jax.random.key(0)
+    )
+    assert np.isfinite(float(metrics["loss"]))
+
+
+def test_ranking_dp_matches_single_device(devices):
+    cfg = tiny_ranking_cfg(batch_size=8)
+    data = make_ranking_data(cfg, num_samples=64, max_seq_per_feature=8, seed=0)
+    batch = next(iter(ranking_batches(data, cfg, batch_size=8, num_epochs=1)))
+    t1 = RankingTrainer(cfg)
+    s0 = t1.init_state(jax.random.key(0), batch)
+    _, m1 = t1._train_step(s0, t1._put_batch(batch), jax.random.key(0))
+    mesh = make_mesh()
+    t2 = RankingTrainer(cfg, mesh=mesh)
+    d0 = t2.init_state(jax.random.key(0), batch)
+    _, m2 = t2._train_step(d0, t2._put_batch(batch), jax.random.key(0))
+    np.testing.assert_allclose(float(m1["loss"]), float(m2["loss"]), rtol=1e-5)
