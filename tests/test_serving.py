@@ -1,0 +1,145 @@
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from recommend_tpu.config import get_config
+from recommend_tpu.data.pipeline import ranking_batches, retrieval_batches
+from recommend_tpu.data.synthetic import make_ranking_data, make_retrieval_data
+from recommend_tpu.models.retrieval import RetrievalTower
+from recommend_tpu.serving.ranking_service import RankingInferenceEngine
+from recommend_tpu.serving.retrieval_service import RealTimeRecommender, RetrievalIndex
+from tests.test_ranking_model import tiny_ranking_cfg
+
+
+@pytest.fixture(scope="module")
+def retrieval_setup():
+    cfg = get_config(
+        "retrieval_small",
+        embed_dim=32, num_layers=1, num_heads=2, ffn_dim=64, max_seq_len=16,
+        compression_schedule=((8, 4), (8, 1)), video_vocab_size=500,
+        batch_size=8, dropout_rate=0.0, compute_dtype="float32", top_k=20,
+    )
+    data = make_retrieval_data(cfg, num_users=10, num_videos=200, seed=0)
+    model = RetrievalTower(cfg)
+    batch = next(iter(retrieval_batches(data, cfg, batch_size=4, num_epochs=1)))
+    params = jax.jit(model.init)(
+        jax.random.key(0),
+        {k: jnp.asarray(v) for k, v in batch["history"].items()},
+        jnp.asarray(batch["history_valid"]),
+    )
+    return cfg, model, params, data
+
+
+def test_retrieval_index_search(retrieval_setup):
+    cfg, model, params, data = retrieval_setup
+    index = RetrievalIndex(cfg, model, params, embed_batch=64)
+    index.build(data.corpus_features())
+    assert index.item_embeddings.shape == (200, cfg.embed_dim)
+    interests = jnp.asarray(np.random.default_rng(0).normal(size=(2, 4, 32)).astype(np.float32))
+    scores, ids = index.search(interests, top_k=10)
+    assert scores.shape == (2, 10) and ids.shape == (2, 10)
+    # descending scores
+    assert (np.diff(scores, axis=1) <= 1e-6).all()
+
+
+def test_realtime_recommender_flow(retrieval_setup):
+    cfg, model, params, data = retrieval_setup
+    index = RetrievalIndex(cfg, model, params, embed_batch=64)
+    index.build(data.corpus_features())
+    rec = RealTimeRecommender(cfg, model, params, index)
+    for vid in (3, 17, 42):
+        rec.add_interaction(
+            "u1",
+            {"video_id": vid, "category": 1, "tag": 2, "duration": 30.0,
+             "timestamp": 1700000000 + vid},
+        )
+    out = rec.get_recommendations("u1", top_k=5)
+    assert len(out) == 5
+    assert all(set(r) == {"video_id", "score"} for r in out)
+    # seen items excluded
+    assert not {3, 17, 42} & {r["video_id"] for r in out}
+    s = rec.stats()
+    assert s["requests"] == 1 and "latency_ms_p50" in s
+
+
+@pytest.fixture(scope="module")
+def ranking_engine():
+    cfg = tiny_ranking_cfg()
+    data = make_ranking_data(cfg, num_samples=16, max_seq_per_feature=8, seed=0)
+    batch = next(iter(ranking_batches(data, cfg, batch_size=2, num_epochs=1)))
+    from recommend_tpu.models.ranking import RankingModel
+
+    model = RankingModel(cfg)
+    params = jax.jit(model.init)(
+        jax.random.key(0),
+        {k: jnp.asarray(v) for k, v in batch["non_seq"].items()},
+        {k: jnp.asarray(v) for k, v in batch["sequences"].items()},
+        {k: jnp.asarray(v) for k, v in batch["seq_valid"].items()},
+    )
+    return RankingInferenceEngine(cfg, params, max_seq_len=8)
+
+
+def _features(seed=0):
+    rng = np.random.default_rng(seed)
+    user_ctx = {"user_id": 5, "age_bucket": 2, "gender": 1, "city": 3,
+                "hour": 12, "weekday": 3, "device": 1}
+    item = {"item_id": int(rng.integers(0, 200)), "category": 4, "brand": 7,
+            "price_bucket": 3}
+    seqs = {"click_seq": [1, 2, 3, 4], "cart_seq": [5], "purchase_seq": []}
+    return user_ctx, item, seqs
+
+
+def test_single_inference(ranking_engine):
+    user_ctx, item, seqs = _features()
+    out = ranking_engine.single_inference(dict(user_ctx, **item), seqs)
+    for t in ranking_engine.cfg.tasks:
+        assert 0.0 <= out[t] <= 1.0
+
+
+def test_batch_matches_single(ranking_engine):
+    rows = []
+    singles = []
+    for s in range(3):
+        user_ctx, item, seqs = _features(s)
+        rows.append((dict(user_ctx, **item), seqs))
+        singles.append(ranking_engine.single_inference(dict(user_ctx, **item), seqs))
+    batch_out = ranking_engine.batch_inference(rows)
+    for a, b in zip(singles, batch_out):
+        for t in ranking_engine.cfg.tasks:
+            assert abs(a[t] - b[t]) < 1e-5
+
+
+def test_kv_cached_request_matches_full(ranking_engine):
+    """score_request (S encoded once, NS per candidate) must reproduce
+    single_inference exactly per candidate."""
+    user_ctx, _, seqs = _features()
+    candidates = [_features(s)[1] for s in range(5)]
+    cached = ranking_engine.score_request(user_ctx, seqs, candidates)
+    assert len(cached) == 5
+    for c, out in zip(candidates, cached):
+        full = ranking_engine.single_inference(dict(user_ctx, **c), seqs)
+        for t in ranking_engine.cfg.tasks:
+            assert abs(full[t] - out[t]) < 1e-5, (t, full[t], out[t])
+
+
+def test_engine_stats(ranking_engine):
+    s = ranking_engine.stats()
+    assert s["total"] > 0 and s["success_rate"] == 1.0
+    assert s["est_qps"] > 0
+
+
+def test_checkpoint_round_trip(tmp_path):
+    cfg = tiny_ranking_cfg(batch_size=8)
+    data = make_ranking_data(cfg, num_samples=32, max_seq_per_feature=8, seed=0)
+    from recommend_tpu.training.ranking_trainer import RankingTrainer
+
+    it = ranking_batches(data, cfg, batch_size=8, seed=0)
+    trainer = RankingTrainer(cfg, checkpoint_dir=str(tmp_path / "ck"))
+    state = trainer.train(it, num_steps=3, log_every=10)
+    trainer.ckpt.wait()
+    engine = RankingInferenceEngine.from_checkpoint(str(tmp_path / "ck"), max_seq_len=8)
+    user_ctx, item, seqs = _features()
+    out = engine.single_inference(dict(user_ctx, **item), seqs)
+    for t in cfg.tasks:
+        assert 0.0 <= out[t] <= 1.0
