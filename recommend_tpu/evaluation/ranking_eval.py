@@ -1,0 +1,151 @@
+"""Ranking evaluation: offline metrics, simulated A/B comparison, and
+feature-importance analysis.
+
+Capability parity with OneTransEvaluator (oneTrans evaluate.py:22-466):
+  - offline eval: per-task AUC / accuracy / precision / recall / F1 / logloss
+    + throughput (evaluate.py:58-129)
+  - simulated A/B test: control vs treatment loaders, relative lift +
+    two-proportion z significance (evaluate.py:131-169 — the reference's
+    "naive significance" is replaced by an actual z-test)
+  - permutation feature importance (the reference's is a placeholder,
+    evaluate.py:231-282 — this one really permutes features and measures the
+    AUC drop)
+  - JSON report dump (evaluate.py:284-317)
+"""
+
+from __future__ import annotations
+
+import json
+import math
+import os
+import time
+from typing import Callable, Dict, Iterable, List, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from recommend_tpu.config import RankingConfig
+from recommend_tpu.models.ranking import RankingModel
+from recommend_tpu.training.metrics import binary_classification_suite, streaming_auc
+
+
+class RankingEvaluator:
+    def __init__(self, cfg: RankingConfig, model: RankingModel, params):
+        self.cfg = cfg
+        self.model = model
+        self.params = params
+        self._fwd = jax.jit(
+            lambda p, ns, seqs, sv: model.apply(p, ns, seqs, sv)
+        )
+        self._auc = streaming_auc()
+
+    def _batch_args(self, batch):
+        return (
+            {k: jnp.asarray(v) for k, v in batch["non_seq"].items()},
+            {k: jnp.asarray(v) for k, v in batch["sequences"].items()},
+            {k: jnp.asarray(v) for k, v in batch["seq_valid"].items()},
+        )
+
+    def evaluate(self, batches: Iterable[Dict]) -> Dict[str, float]:
+        init, update, compute = self._auc
+        auc_states = {t: init() for t in self.cfg.tasks}
+        probs_all = {t: [] for t in self.cfg.tasks}
+        labels_all = {t: [] for t in self.cfg.tasks}
+        n, t_total = 0, 0.0
+        for batch in batches:
+            args = self._batch_args(batch)
+            t0 = time.perf_counter()
+            logits = self._fwd(self.params, *args)
+            probs = {t: jax.nn.sigmoid(logits[t]) for t in logits}
+            # host fetch synchronizes (bench-honest on remote transports)
+            fetched = {t: np.asarray(v) for t, v in probs.items()}
+            t_total += time.perf_counter() - t0
+            for t in self.cfg.tasks:
+                y = np.asarray(batch["labels"][t])
+                auc_states[t] = update(auc_states[t], jnp.asarray(fetched[t]), jnp.asarray(y))
+                probs_all[t].append(fetched[t])
+                labels_all[t].append(y)
+            n += len(next(iter(fetched.values())))
+        out: Dict[str, float] = {"num_samples": n}
+        if n:
+            out["throughput_samples_per_s"] = n / max(t_total, 1e-9)
+        for t in self.cfg.tasks:
+            if not probs_all[t]:
+                continue
+            p = jnp.asarray(np.concatenate(probs_all[t]))
+            y = jnp.asarray(np.concatenate(labels_all[t]))
+            suite = binary_classification_suite(p, y)
+            out.update({f"{t}_{k}": float(v) for k, v in suite.items()})
+            out[f"{t}_auc"] = float(compute(auc_states[t]))
+        return out
+
+    def ab_test(
+        self,
+        control_batches: Iterable[Dict],
+        treatment_batches: Iterable[Dict],
+        metric: Optional[str] = None,
+    ) -> Dict[str, object]:
+        """Simulated A/B comparison (reference evaluate.py:131-169) with a
+        two-proportion z-test on predicted positive rates and relative lifts
+        on every shared metric."""
+        metric = metric or f"{self.cfg.tasks[0]}_auc"
+        control = self.evaluate(control_batches)
+        treatment = self.evaluate(treatment_batches)
+        lifts = {
+            k: (treatment[k] - control[k]) / abs(control[k])
+            for k in control
+            if k in treatment and isinstance(control[k], float) and control[k] != 0
+        }
+        # z-test on the primary task's predicted-positive proportions
+        t0 = self.cfg.tasks[0]
+        p1, n1 = control.get(f"{t0}_accuracy", 0.5), control["num_samples"]
+        p2, n2 = treatment.get(f"{t0}_accuracy", 0.5), treatment["num_samples"]
+        pooled = (p1 * n1 + p2 * n2) / max(n1 + n2, 1)
+        se = math.sqrt(max(pooled * (1 - pooled) * (1 / max(n1, 1) + 1 / max(n2, 1)), 1e-12))
+        z = (p2 - p1) / se
+        return {
+            "control": control,
+            "treatment": treatment,
+            "relative_lift": lifts,
+            "primary_metric": metric,
+            "primary_lift": lifts.get(metric, 0.0),
+            "z_score": z,
+            "significant_95": abs(z) > 1.96,
+        }
+
+    def feature_importance(
+        self,
+        batches: List[Dict],
+        features: Optional[List[str]] = None,
+        seed: int = 0,
+    ) -> Dict[str, float]:
+        """Permutation importance: shuffle one feature column across the
+        batch, measure primary-task AUC drop."""
+        rng = np.random.default_rng(seed)
+        base = self.evaluate(iter(batches))
+        t0 = self.cfg.tasks[0]
+        base_auc = base[f"{t0}_auc"]
+        features = features or list(self.cfg.non_seq_features)
+        out = {}
+        for f in features:
+            permuted = []
+            for batch in batches:
+                b = {
+                    "non_seq": dict(batch["non_seq"]),
+                    "sequences": batch["sequences"],
+                    "seq_valid": batch["seq_valid"],
+                    "labels": batch["labels"],
+                }
+                col = np.asarray(b["non_seq"][f])
+                b["non_seq"][f] = col[rng.permutation(len(col))]
+                permuted.append(b)
+            m = self.evaluate(iter(permuted))
+            out[f] = float(base_auc - m[f"{t0}_auc"])
+        return dict(sorted(out.items(), key=lambda kv: -kv[1]))
+
+    @staticmethod
+    def save_report(report: Dict, path: str) -> None:
+        os.makedirs(os.path.dirname(os.path.abspath(path)), exist_ok=True)
+        with open(path, "w") as f:
+            json.dump({"timestamp": time.time(), **report}, f, indent=2, default=float)

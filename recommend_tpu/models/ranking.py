@@ -129,6 +129,31 @@ class MixedBlock(nn.Module):
     def _ffn_s(self, x: jax.Array) -> jax.Array:
         return self.ffn_s_out(jax.nn.gelu(self.ffn_s_in(x)))
 
+    def _attend(
+        self,
+        q: jax.Array,  # [B, Lq, H, Dh]
+        k: jax.Array,  # [B, Lkv, H, Dh]
+        v: jax.Array,
+        key_valid: jax.Array,  # [B, Lkv]
+        q_offset: int,
+    ) -> jax.Array:
+        """Band attention: Pallas flash kernel when the flag is on and the
+        query window is large enough to pay for it; jnp reference otherwise.
+        Both paths compute the identical masked softmax (differentially
+        tested in tests/test_flash_attention.py)."""
+        cfg = self.config
+        if cfg.use_flash_attention and q.shape[1] >= 64:
+            from recommend_tpu.ops.pallas.flash_attention import (
+                flash_attention_bhld,
+            )
+
+            return flash_attention_bhld(q, k, v, key_valid, q_offset, True)
+        bias = (
+            causal_band_mask(q.shape[1], k.shape[1], q_offset)[None, None]
+            + padding_mask_bias(key_valid)
+        )
+        return dot_product_attention(q, k, v, bias)
+
     # -- entry points ------------------------------------------------------
     def full_call(
         self,
@@ -151,11 +176,7 @@ class MixedBlock(nn.Module):
         q_s_tail = self.q_s(h_s[:, s_len - keep_s :]) if keep_s > 0 else None
         q_ns = self._proj_ns(self.q_ns, h_ns)
         q = jnp.concatenate([q_s_tail, q_ns], axis=1) if q_s_tail is not None else q_ns
-        bias = (
-            causal_band_mask(keep_len, l)[None, None]
-            + padding_mask_bias(key_valid)
-        )
-        attn = dot_product_attention(q, k, v, bias)
+        attn = self._attend(q, k, v, key_valid, l - keep_len)
         y = self.o_proj(attn)
         y = self.dropout(y, deterministic=deterministic)
         x = x[:, l - keep_len :] + y
@@ -183,8 +204,7 @@ class MixedBlock(nn.Module):
             return None, k_s, v_s
         ls = x_s.shape[1]
         q = self.q_s(hx[:, ls - keep_s :])
-        bias = causal_band_mask(keep_s, ls)[None, None] + padding_mask_bias(key_valid)
-        attn = dot_product_attention(q, k_s, v_s, bias)
+        attn = self._attend(q, k_s, v_s, key_valid, ls - keep_s)
         y = self.dropout(self.o_proj(attn), deterministic=deterministic)
         x = x_s[:, ls - keep_s :] + y
         f = self.dropout(self._ffn_s(self.ffn_norm(x)), deterministic=deterministic)

@@ -1,0 +1,367 @@
+"""Fused band-masked flash attention — the Pallas kernel behind the ranking
+stack's Table-5 optimizations (SURVEY.md §7 phase 5).
+
+One kernel realizes three reference capabilities at once:
+  - FlashAttention (claimed by oneTrans config.py:66-69, never implemented):
+    blocked online-softmax; the [Lq, Lkv] logit matrix never hits HBM.
+  - Pyramid tail-query pruning (oneTrans model.py:280-302): the query window
+    is simply Lq < Lkv rows whose absolute positions sit at the tail
+    (``q_offset = Lkv - Lq``) — the same causal *band* mask the jnp path uses
+    (`recommend_tpu.ops.attention.causal_band_mask`).
+  - Key padding: a per-key additive bias row folds the validity mask in.
+
+Kernel layout: batch and heads collapse to one leading grid dim
+(q [BH, Lq, Dh]; bias/lse as [BH, 1, L] so the TPU block-shape rules are
+satisfied). Causal-band kv blocks strictly above the band are skipped, so
+cost tracks the realized band, not Lq×Lkv.
+
+Custom VJP: forward saves per-row logsumexp; backward recomputes
+probabilities blockwise (dq kernel over q-rows; dk/dv kernel over kv-rows),
+masked identically to forward.
+
+Numerics match the jnp reference path (softmax in f32, -1e9 masking => rows
+with zero valid keys degrade to a uniform distribution rather than NaN).
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+NEG_INF = -1e9
+DEFAULT_BLOCK_Q = 256
+DEFAULT_BLOCK_K = 512
+
+
+def _round_up(n: int, m: int) -> int:
+    return ((n + m - 1) // m) * m
+
+
+def _band_bias(iq, ik, bq: int, bk: int, q_offset: int, causal: bool):
+    if not causal:
+        return None
+    q_pos = q_offset + iq * bq + jax.lax.broadcasted_iota(jnp.int32, (bq, bk), 0)
+    kv_pos = ik * bk + jax.lax.broadcasted_iota(jnp.int32, (bq, bk), 1)
+    return jnp.where(kv_pos <= q_pos, 0.0, NEG_INF)
+
+
+def _run_block(iq, ik, bq: int, bk: int, q_offset: int, causal: bool):
+    if not causal:
+        return True
+    return ik * bk <= q_offset + iq * bq + bq - 1
+
+
+def _fwd_kernel(
+    q_ref, k_ref, v_ref, bias_ref, o_ref, lse_ref,
+    acc_ref, m_ref, l_ref,
+    *, sm_scale: float, q_offset: int, causal: bool, bq: int, bk: int,
+):
+    iq, ik = pl.program_id(1), pl.program_id(2)
+    nk = pl.num_programs(2)
+
+    @pl.when(ik == 0)
+    def _init():
+        acc_ref[:] = jnp.zeros_like(acc_ref)
+        m_ref[:] = jnp.full_like(m_ref, NEG_INF)
+        l_ref[:] = jnp.zeros_like(l_ref)
+
+    @pl.when(_run_block(iq, ik, bq, bk, q_offset, causal))
+    def _body():
+        q = q_ref[0]  # [bq, dh]
+        k = k_ref[0]  # [bk, dh]
+        s = jax.lax.dot_general(
+            q, k, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
+        ) * sm_scale
+        s = s + bias_ref[0, 0][None, :]
+        band = _band_bias(iq, ik, bq, bk, q_offset, causal)
+        if band is not None:
+            s = s + band
+        m_prev = m_ref[:, 0][:, None]
+        m_cur = jnp.maximum(m_prev, jnp.max(s, axis=1, keepdims=True))
+        alpha = jnp.exp(m_prev - m_cur)
+        p = jnp.exp(s - m_cur)
+        l_ref[:] = l_ref[:] * alpha + jnp.sum(p, axis=1, keepdims=True)
+        acc_ref[:] = acc_ref[:] * alpha + jax.lax.dot_general(
+            p.astype(v_ref.dtype), v_ref[0], (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )
+        m_ref[:] = jnp.broadcast_to(m_cur, m_ref.shape)
+
+    @pl.when(ik == nk - 1)
+    def _finish():
+        l = l_ref[:, 0][:, None]
+        o_ref[0] = (acc_ref[:] / jnp.maximum(l, 1e-30)).astype(o_ref.dtype)
+        lse_ref[0, 0] = m_ref[:, 0] + jnp.log(jnp.maximum(l[:, 0], 1e-30))
+
+
+def _dq_kernel(
+    q_ref, k_ref, v_ref, bias_ref, do_ref, lse_ref, delta_ref, dq_ref,
+    acc_ref,
+    *, sm_scale: float, q_offset: int, causal: bool, bq: int, bk: int,
+):
+    iq, ik = pl.program_id(1), pl.program_id(2)
+    nk = pl.num_programs(2)
+
+    @pl.when(ik == 0)
+    def _init():
+        acc_ref[:] = jnp.zeros_like(acc_ref)
+
+    @pl.when(_run_block(iq, ik, bq, bk, q_offset, causal))
+    def _body():
+        q = q_ref[0]
+        k = k_ref[0]
+        v = v_ref[0]
+        s = jax.lax.dot_general(
+            q, k, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
+        ) * sm_scale
+        s = s + bias_ref[0, 0][None, :]
+        band = _band_bias(iq, ik, bq, bk, q_offset, causal)
+        if band is not None:
+            s = s + band
+        p = jnp.exp(s - lse_ref[0, 0][:, None])
+        do = do_ref[0]
+        dp = jax.lax.dot_general(
+            do, v, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
+        )
+        ds = p * (dp - delta_ref[0, 0][:, None]) * sm_scale
+        acc_ref[:] += jax.lax.dot_general(
+            ds.astype(k.dtype), k, (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )
+
+    @pl.when(ik == nk - 1)
+    def _finish():
+        dq_ref[0] = acc_ref[:].astype(dq_ref.dtype)
+
+
+def _dkv_kernel(
+    q_ref, k_ref, v_ref, bias_ref, do_ref, lse_ref, delta_ref,
+    dk_ref, dv_ref, dk_acc, dv_acc,
+    *, sm_scale: float, q_offset: int, causal: bool, bq: int, bk: int,
+):
+    ik, iq = pl.program_id(1), pl.program_id(2)
+    nq = pl.num_programs(2)
+
+    @pl.when(iq == 0)
+    def _init():
+        dk_acc[:] = jnp.zeros_like(dk_acc)
+        dv_acc[:] = jnp.zeros_like(dv_acc)
+
+    @pl.when(_run_block(iq, ik, bq, bk, q_offset, causal))
+    def _body():
+        q = q_ref[0]
+        k = k_ref[0]
+        v = v_ref[0]
+        s = jax.lax.dot_general(
+            q, k, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
+        ) * sm_scale
+        s = s + bias_ref[0, 0][None, :]
+        band = _band_bias(iq, ik, bq, bk, q_offset, causal)
+        if band is not None:
+            s = s + band
+        p = jnp.exp(s - lse_ref[0, 0][:, None])  # [bq, bk]
+        do = do_ref[0]
+        dv_acc[:] += jax.lax.dot_general(
+            p.astype(do.dtype), do, (((0,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )
+        dp = jax.lax.dot_general(
+            do, v, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
+        )
+        ds = p * (dp - delta_ref[0, 0][:, None]) * sm_scale
+        dk_acc[:] += jax.lax.dot_general(
+            ds.astype(q.dtype), q, (((0,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )
+
+    @pl.when(iq == nq - 1)
+    def _finish():
+        dk_ref[0] = dk_acc[:].astype(dk_ref.dtype)
+        dv_ref[0] = dv_acc[:].astype(dv_ref.dtype)
+
+
+def _pad_axis(x: jax.Array, axis: int, target: int, value=0.0) -> jax.Array:
+    n = x.shape[axis]
+    if n == target:
+        return x
+    widths = [(0, 0)] * x.ndim
+    widths[axis] = (0, target - n)
+    return jnp.pad(x, widths, constant_values=value)
+
+
+def _prep(q, k, v, kv_bias, bq, bk):
+    """[BH, L, Dh] inputs padded to block multiples; bias → [BH, 1, Lkv_p]."""
+    lq, lkv = q.shape[1], k.shape[1]
+    lq_p, lkv_p = _round_up(lq, bq), _round_up(lkv, bk)
+    qp = _pad_axis(q, 1, lq_p)
+    kp = _pad_axis(k, 1, lkv_p)
+    vp = _pad_axis(v, 1, lkv_p)
+    bias_p = _pad_axis(kv_bias, 1, lkv_p, value=NEG_INF)[:, None, :]
+    return qp, kp, vp, bias_p, lq_p, lkv_p
+
+
+_SEMANTICS = ("parallel", "parallel", "arbitrary")
+
+
+def _flash_fwd_impl(q, k, v, kv_bias, *, sm_scale, q_offset, causal, bq, bk):
+    bh, lq, dh = q.shape
+    qp, kp, vp, bias_p, lq_p, lkv_p = _prep(q, k, v, kv_bias, bq, bk)
+    grid = (bh, lq_p // bq, lkv_p // bk)
+    kernel = functools.partial(
+        _fwd_kernel, sm_scale=sm_scale, q_offset=q_offset, causal=causal,
+        bq=bq, bk=bk,
+    )
+    out, lse = pl.pallas_call(
+        kernel,
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec((1, bq, dh), lambda b, iq, ik: (b, iq, 0)),
+            pl.BlockSpec((1, bk, dh), lambda b, iq, ik: (b, ik, 0)),
+            pl.BlockSpec((1, bk, dh), lambda b, iq, ik: (b, ik, 0)),
+            pl.BlockSpec((1, 1, bk), lambda b, iq, ik: (b, 0, ik)),
+        ],
+        out_specs=[
+            pl.BlockSpec((1, bq, dh), lambda b, iq, ik: (b, iq, 0)),
+            pl.BlockSpec((1, 1, bq), lambda b, iq, ik: (b, 0, iq)),
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct((bh, lq_p, dh), q.dtype),
+            jax.ShapeDtypeStruct((bh, 1, lq_p), jnp.float32),
+        ],
+        scratch_shapes=[
+            pltpu.VMEM((bq, dh), jnp.float32),
+            pltpu.VMEM((bq, 128), jnp.float32),
+            pltpu.VMEM((bq, 128), jnp.float32),
+        ],
+        compiler_params=pltpu.CompilerParams(dimension_semantics=_SEMANTICS),
+    )(qp, kp, vp, bias_p)
+    return out[:, :lq], lse[:, :, :lq]
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(4, 5, 6, 7, 8))
+def flash_band_attention(
+    q: jax.Array,  # [BH, Lq, Dh]
+    k: jax.Array,  # [BH, Lkv, Dh]
+    v: jax.Array,  # [BH, Lkv, Dh]
+    kv_bias: jax.Array,  # [BH, Lkv] additive (0 valid / -1e9 padded)
+    sm_scale: float,
+    q_offset: int,
+    causal: bool = True,
+    block_q: int = DEFAULT_BLOCK_Q,
+    block_k: int = DEFAULT_BLOCK_K,
+) -> jax.Array:
+    out, _ = _flash_fwd_impl(
+        q, k, v, kv_bias, sm_scale=sm_scale, q_offset=q_offset, causal=causal,
+        bq=block_q, bk=block_k,
+    )
+    return out
+
+
+def _flash_fwd(q, k, v, kv_bias, sm_scale, q_offset, causal, block_q, block_k):
+    out, lse = _flash_fwd_impl(
+        q, k, v, kv_bias, sm_scale=sm_scale, q_offset=q_offset, causal=causal,
+        bq=block_q, bk=block_k,
+    )
+    return out, (q, k, v, kv_bias, out, lse)
+
+
+def _flash_bwd(sm_scale, q_offset, causal, block_q, block_k, res, do):
+    q, k, v, kv_bias, out, lse = res
+    bh, lq, dh = q.shape
+    lkv = k.shape[1]
+    bq, bk = block_q, block_k
+
+    delta = jnp.sum(out.astype(jnp.float32) * do.astype(jnp.float32), axis=-1)
+    delta = delta[:, None, :]  # [BH, 1, Lq]
+
+    qp, kp, vp, bias_p, lq_p, lkv_p = _prep(q, k, v, kv_bias, bq, bk)
+    dop = _pad_axis(do, 1, lq_p)
+    lsep = _pad_axis(lse, 2, lq_p)
+    deltap = _pad_axis(delta, 2, lq_p)
+
+    dq_kernel = functools.partial(
+        _dq_kernel, sm_scale=sm_scale, q_offset=q_offset, causal=causal,
+        bq=bq, bk=bk,
+    )
+    dq = pl.pallas_call(
+        dq_kernel,
+        grid=(bh, lq_p // bq, lkv_p // bk),
+        in_specs=[
+            pl.BlockSpec((1, bq, dh), lambda b, iq, ik: (b, iq, 0)),
+            pl.BlockSpec((1, bk, dh), lambda b, iq, ik: (b, ik, 0)),
+            pl.BlockSpec((1, bk, dh), lambda b, iq, ik: (b, ik, 0)),
+            pl.BlockSpec((1, 1, bk), lambda b, iq, ik: (b, 0, ik)),
+            pl.BlockSpec((1, bq, dh), lambda b, iq, ik: (b, iq, 0)),
+            pl.BlockSpec((1, 1, bq), lambda b, iq, ik: (b, 0, iq)),
+            pl.BlockSpec((1, 1, bq), lambda b, iq, ik: (b, 0, iq)),
+        ],
+        out_specs=pl.BlockSpec((1, bq, dh), lambda b, iq, ik: (b, iq, 0)),
+        out_shape=jax.ShapeDtypeStruct((bh, lq_p, dh), q.dtype),
+        scratch_shapes=[pltpu.VMEM((bq, dh), jnp.float32)],
+        compiler_params=pltpu.CompilerParams(dimension_semantics=_SEMANTICS),
+    )(qp, kp, vp, bias_p, dop, lsep, deltap)[:, :lq]
+
+    dkv_kernel = functools.partial(
+        _dkv_kernel, sm_scale=sm_scale, q_offset=q_offset, causal=causal,
+        bq=bq, bk=bk,
+    )
+    dk, dv = pl.pallas_call(
+        dkv_kernel,
+        grid=(bh, lkv_p // bk, lq_p // bq),
+        in_specs=[
+            pl.BlockSpec((1, bq, dh), lambda b, ik, iq: (b, iq, 0)),
+            pl.BlockSpec((1, bk, dh), lambda b, ik, iq: (b, ik, 0)),
+            pl.BlockSpec((1, bk, dh), lambda b, ik, iq: (b, ik, 0)),
+            pl.BlockSpec((1, 1, bk), lambda b, ik, iq: (b, 0, ik)),
+            pl.BlockSpec((1, bq, dh), lambda b, ik, iq: (b, iq, 0)),
+            pl.BlockSpec((1, 1, bq), lambda b, ik, iq: (b, 0, iq)),
+            pl.BlockSpec((1, 1, bq), lambda b, ik, iq: (b, 0, iq)),
+        ],
+        out_specs=[
+            pl.BlockSpec((1, bk, dh), lambda b, ik, iq: (b, ik, 0)),
+            pl.BlockSpec((1, bk, dh), lambda b, ik, iq: (b, ik, 0)),
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct((bh, lkv_p, dh), k.dtype),
+            jax.ShapeDtypeStruct((bh, lkv_p, dh), v.dtype),
+        ],
+        scratch_shapes=[
+            pltpu.VMEM((bk, dh), jnp.float32),
+            pltpu.VMEM((bk, dh), jnp.float32),
+        ],
+        compiler_params=pltpu.CompilerParams(dimension_semantics=_SEMANTICS),
+    )(qp, kp, vp, bias_p, dop, lsep, deltap)
+    return dq, dk[:, :lkv], dv[:, :lkv], None
+
+
+flash_band_attention.defvjp(_flash_fwd, _flash_bwd)
+
+
+def flash_attention_bhld(
+    q: jax.Array,  # [B, Lq, H, Dh]  (model layout)
+    k: jax.Array,  # [B, Lkv, H, Dh]
+    v: jax.Array,
+    kv_valid: jax.Array,  # [B, Lkv] bool
+    q_offset: int,
+    causal: bool = True,
+    block_q: int = DEFAULT_BLOCK_Q,
+    block_k: int = DEFAULT_BLOCK_K,
+) -> jax.Array:
+    """Model-layout wrapper: collapses (B, H), transposes, and restores."""
+    b, lq, h, dh = q.shape
+    lkv = k.shape[1]
+    sm_scale = 1.0 / float(dh) ** 0.5
+    bias = jnp.where(kv_valid, 0.0, NEG_INF).astype(jnp.float32)
+    bias = jnp.broadcast_to(bias[:, None, :], (b, h, lkv)).reshape(b * h, lkv)
+    to_bh = lambda x: jnp.swapaxes(x, 1, 2).reshape(b * h, x.shape[1], dh)
+    bq = min(block_q, _round_up(lq, 16))
+    bk = min(block_k, _round_up(lkv, 16))
+    out = flash_band_attention(
+        to_bh(q), to_bh(k), to_bh(v), bias, sm_scale, q_offset, causal, bq, bk
+    )
+    return jnp.swapaxes(out.reshape(b, h, lq, dh), 1, 2).astype(q.dtype)

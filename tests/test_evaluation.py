@@ -1,0 +1,110 @@
+import itertools
+import json
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from recommend_tpu.config import get_config
+from recommend_tpu.data.pipeline import ranking_batches, retrieval_batches
+from recommend_tpu.data.synthetic import make_ranking_data, make_retrieval_data
+from recommend_tpu.evaluation.benchmark import latency_benchmark, mfu, ranking_model_flops
+from recommend_tpu.evaluation.ranking_eval import RankingEvaluator
+from recommend_tpu.evaluation.retrieval_eval import RetrievalEvaluator
+from recommend_tpu.models.ranking import RankingModel
+from recommend_tpu.models.retrieval import RetrievalTower
+from tests.test_ranking_model import tiny_ranking_cfg
+
+
+@pytest.fixture(scope="module")
+def retrieval_eval_setup():
+    cfg = get_config(
+        "retrieval_small",
+        embed_dim=32, num_layers=1, num_heads=2, ffn_dim=64, max_seq_len=16,
+        compression_schedule=((8, 4), (8, 1)), video_vocab_size=300,
+        dropout_rate=0.0, compute_dtype="float32", top_k=50,
+    )
+    data = make_retrieval_data(cfg, num_users=20, num_videos=300, seed=0)
+    model = RetrievalTower(cfg)
+    batch = next(iter(retrieval_batches(data, cfg, batch_size=8, num_epochs=1)))
+    params = jax.jit(model.init)(
+        jax.random.key(0),
+        {k: jnp.asarray(v) for k, v in batch["history"].items()},
+        jnp.asarray(batch["history_valid"]),
+    )
+    return cfg, model, params, data
+
+
+def test_full_corpus_retrieval_metrics(retrieval_eval_setup, tmp_path):
+    cfg, model, params, data = retrieval_eval_setup
+    ev = RetrievalEvaluator(cfg, model, params)
+    batches = itertools.islice(retrieval_batches(data, cfg, batch_size=8, seed=1), 3)
+    m = ev.evaluate_retrieval(data, batches, ks=(1, 10, 50))
+    for key in ("recall@1", "recall@10", "recall@50", "ndcg@10", "mrr", "map"):
+        assert key in m
+    # recall monotone in k
+    assert m["recall@1"] <= m["recall@10"] <= m["recall@50"]
+    ev.save_results(m, str(tmp_path / "res.json"))
+    assert json.load(open(tmp_path / "res.json"))["mrr"] == m["mrr"]
+
+
+def test_retrieval_latency_benchmark(retrieval_eval_setup):
+    cfg, model, params, data = retrieval_eval_setup
+    ev = RetrievalEvaluator(cfg, model, params)
+    ev.index.build(data.corpus_features())
+    batch = next(iter(retrieval_batches(data, cfg, batch_size=4, num_epochs=1)))
+    r = ev.benchmark_latency(batch, n_iters=5, warmup=1)
+    assert r["latency_ms_p50"] > 0 and r["throughput_qps"] > 0
+
+
+@pytest.fixture(scope="module")
+def ranking_eval_setup():
+    cfg = tiny_ranking_cfg(batch_size=16)
+    data = make_ranking_data(cfg, num_samples=200, max_seq_per_feature=8, seed=0)
+    model = RankingModel(cfg)
+    batch = next(iter(ranking_batches(data, cfg, batch_size=16, num_epochs=1)))
+    params = jax.jit(model.init)(
+        jax.random.key(0),
+        {k: jnp.asarray(v) for k, v in batch["non_seq"].items()},
+        {k: jnp.asarray(v) for k, v in batch["sequences"].items()},
+        {k: jnp.asarray(v) for k, v in batch["seq_valid"].items()},
+    )
+    return cfg, model, params, data
+
+
+def test_ranking_offline_eval(ranking_eval_setup):
+    cfg, model, params, data = ranking_eval_setup
+    ev = RankingEvaluator(cfg, model, params)
+    m = ev.evaluate(itertools.islice(ranking_batches(data, cfg, batch_size=16, seed=1), 4))
+    for t in cfg.tasks:
+        for suffix in ("auc", "accuracy", "precision", "recall", "f1", "logloss"):
+            assert f"{t}_{suffix}" in m
+    assert m["num_samples"] == 64
+    assert m["throughput_samples_per_s"] > 0
+
+
+def test_ab_test_harness(ranking_eval_setup):
+    cfg, model, params, data = ranking_eval_setup
+    ev = RankingEvaluator(cfg, model, params)
+    c = itertools.islice(ranking_batches(data, cfg, batch_size=16, seed=2), 3)
+    t = itertools.islice(ranking_batches(data, cfg, batch_size=16, seed=3), 3)
+    r = ev.ab_test(c, t)
+    assert "relative_lift" in r and "z_score" in r
+    assert isinstance(r["significant_95"], (bool, np.bool_))
+
+
+def test_feature_importance(ranking_eval_setup):
+    cfg, model, params, data = ranking_eval_setup
+    ev = RankingEvaluator(cfg, model, params)
+    batches = list(itertools.islice(ranking_batches(data, cfg, batch_size=16, seed=4), 2))
+    imp = ev.feature_importance(batches, features=["price_bucket", "gender"])
+    assert set(imp) == {"price_bucket", "gender"}
+
+
+def test_mfu_accounting():
+    cfg = tiny_ranking_cfg()
+    f = ranking_model_flops(cfg, s_len=100, training=True)
+    assert f > 0
+    u = mfu(5000.0, f, "v5e", 1)
+    assert 0 <= u < 100

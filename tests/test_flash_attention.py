@@ -1,0 +1,117 @@
+"""Differential tests: Pallas flash band attention vs the jnp reference path.
+
+Runs in interpreter mode on CPU (pltpu.force_tpu_interpret_mode); the same
+kernel is exercised compiled on real TPU by bench/verify drives.
+"""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+from jax.experimental.pallas import tpu as pltpu
+
+from recommend_tpu.ops.attention import (
+    causal_band_mask,
+    dot_product_attention,
+    padding_mask_bias,
+)
+from recommend_tpu.ops.pallas.flash_attention import flash_attention_bhld
+
+
+def _ref(q, k, v, kv_valid, q_offset, causal):
+    bias = padding_mask_bias(kv_valid)
+    if causal:
+        bias = bias + causal_band_mask(q.shape[1], k.shape[1], q_offset)[None, None]
+    return dot_product_attention(q, k, v, bias)
+
+
+def _rand(b, lq, lkv, h, dh, seed=0, pad_tail=0):
+    rng = np.random.default_rng(seed)
+    q = rng.normal(size=(b, lq, h, dh)).astype(np.float32)
+    k = rng.normal(size=(b, lkv, h, dh)).astype(np.float32)
+    v = rng.normal(size=(b, lkv, h, dh)).astype(np.float32)
+    valid = np.ones((b, lkv), dtype=bool)
+    if pad_tail:
+        valid[:, :pad_tail] = False  # left-padded keys
+    return jnp.asarray(q), jnp.asarray(k), jnp.asarray(v), jnp.asarray(valid)
+
+
+CASES = [
+    # (b, lq, lkv, h, dh, pad, causal)  — incl. non-multiple-of-block lengths
+    (2, 128, 128, 2, 64, 0, True),
+    (2, 181, 362, 2, 64, 17, True),   # pyramid layer-0 shape
+    (1, 64, 64, 1, 64, 5, False),
+    (2, 12, 140, 2, 64, 30, True),    # NS-window-like tail queries
+    (1, 256, 512, 4, 32, 0, True),
+]
+
+
+@pytest.mark.parametrize("case", CASES)
+def test_forward_matches_reference(case):
+    b, lq, lkv, h, dh, pad, causal = case
+    q, k, v, valid = _rand(b, lq, lkv, h, dh, seed=hash(case) % 2**31, pad_tail=pad)
+    ref = _ref(q, k, v, valid, lkv - lq, causal)
+    with pltpu.force_tpu_interpret_mode():
+        out = flash_attention_bhld(q, k, v, valid, lkv - lq, causal)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=2e-5, rtol=2e-5)
+
+
+def test_gradients_match_reference():
+    b, lq, lkv, h, dh = 1, 96, 160, 2, 32
+    q, k, v, valid = _rand(b, lq, lkv, h, dh, seed=7, pad_tail=10)
+
+    def loss_ref(q, k, v):
+        return jnp.sum(jnp.square(_ref(q, k, v, valid, lkv - lq, True)))
+
+    def loss_flash(q, k, v):
+        return jnp.sum(
+            jnp.square(flash_attention_bhld(q, k, v, valid, lkv - lq, True))
+        )
+
+    g_ref = jax.grad(loss_ref, argnums=(0, 1, 2))(q, k, v)
+    with pltpu.force_tpu_interpret_mode():
+        g_fl = jax.grad(loss_flash, argnums=(0, 1, 2))(q, k, v)
+    for a, b_, name in zip(g_ref, g_fl, ("dq", "dk", "dv")):
+        np.testing.assert_allclose(
+            np.asarray(a), np.asarray(b_), atol=5e-4, rtol=5e-4, err_msg=name
+        )
+
+
+def test_fully_padded_row_is_finite():
+    """A batch row whose keys are ALL padded must not produce NaN (matches the
+    jnp path's uniform-softmax degradation)."""
+    b, lq, lkv, h, dh = 2, 16, 32, 1, 32
+    q, k, v, valid = _rand(b, lq, lkv, h, dh, seed=3)
+    valid = valid.at[0].set(False)
+    with pltpu.force_tpu_interpret_mode():
+        out = flash_attention_bhld(q, k, v, valid, lkv - lq, False)
+    assert np.isfinite(np.asarray(out)).all()
+
+
+def test_ranking_model_flash_path_matches_jnp():
+    """Full ranking forward with use_flash_attention on vs off (interpret)."""
+    import jax
+
+    from recommend_tpu.data.pipeline import ranking_batches
+    from recommend_tpu.data.synthetic import make_ranking_data
+    from recommend_tpu.models.ranking import RankingModel
+    from tests.test_ranking_model import tiny_ranking_cfg
+
+    cfg = tiny_ranking_cfg(embed_dim=64, num_heads=2)  # Dh=32
+    cfg_flash = tiny_ranking_cfg(embed_dim=64, num_heads=2, use_flash_attention=True)
+    data = make_ranking_data(cfg, num_samples=8, max_seq_per_feature=48, seed=0)
+    batch = next(iter(ranking_batches(data, cfg, batch_size=2, num_epochs=1)))
+    args = (
+        {k: jnp.asarray(v) for k, v in batch["non_seq"].items()},
+        {k: jnp.asarray(v) for k, v in batch["sequences"].items()},
+        {k: jnp.asarray(v) for k, v in batch["seq_valid"].items()},
+    )
+    m1, m2 = RankingModel(cfg), RankingModel(cfg_flash)
+    params = m1.init(jax.random.key(0), *args)
+    out1 = m1.apply(params, *args)
+    with pltpu.force_tpu_interpret_mode():
+        out2 = m2.apply(params, *args)
+    for t in cfg.tasks:
+        np.testing.assert_allclose(
+            np.asarray(out1[t]), np.asarray(out2[t]), atol=1e-4, rtol=1e-4
+        )
