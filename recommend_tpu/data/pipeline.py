@@ -68,14 +68,39 @@ def retrieval_batches(
     seed: int = 0,
     num_epochs: Optional[int] = None,
     min_history: int = 5,
+    use_native: bool = True,
 ) -> Iterator[Dict[str, np.ndarray]]:
     """Yields batches:
     ``history``: dict of [B, L] feature arrays; ``history_valid``: [B, L] bool;
     ``target``: dict of [B] feature arrays for the positive item;
-    ``target_popularity``: [B] sampling probability (for LogQ)."""
+    ``target_popularity``: [B] sampling probability (for LogQ).
+
+    Batch assembly runs through the native C++ batcher when available
+    (native/batcher.cc via ctypes); the numpy path below is the reference
+    implementation and automatic fallback."""
     examples = build_retrieval_examples(data, cfg, min_history)
     probs = data.sampling_probs()
     rng = np.random.default_rng(seed)
+
+    lib = None
+    if use_native:
+        from recommend_tpu.data.native import FlatSequences, fill_retrieval_batch, load_native
+
+        lib = load_native()
+        if lib is not None:
+            flat = FlatSequences(data.user_sequences)
+            ex = np.asarray(examples, dtype=np.int64)
+            epoch = 0
+            while num_epochs is None or epoch < num_epochs:
+                order = rng.permutation(len(examples))
+                for i in range(0, len(order) - batch_size + 1, batch_size):
+                    idx = order[i : i + batch_size]
+                    yield fill_retrieval_batch(
+                        lib, flat, ex[idx, 0], ex[idx, 1], cfg.max_seq_len, probs
+                    )
+                epoch += 1
+            return
+
     epoch = 0
     while num_epochs is None or epoch < num_epochs:
         order = rng.permutation(len(examples))
