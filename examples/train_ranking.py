@@ -1,0 +1,93 @@
+"""End-to-end ranking training example.
+
+Capability parity with oneTrans train.py's CLI (`--config --epochs
+--batch_size --model_dir`, train.py:378-420) and examples/train_example.py's
+pipeline demo: config → data → train (dual optimizer, early stopping) →
+offline eval → KV-cached inference demo.
+
+Usage:
+    python examples/train_ranking.py --config ranking_small --steps 500
+"""
+
+from __future__ import annotations
+
+import argparse
+import itertools
+import json
+import os
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+
+def main():
+    p = argparse.ArgumentParser()
+    p.add_argument("--config", default="ranking_small")
+    p.add_argument("--steps", type=int, default=500)
+    p.add_argument("--batch_size", type=int, default=256)
+    p.add_argument("--num_samples", type=int, default=20000)
+    p.add_argument("--seq_len", type=int, default=64)
+    p.add_argument("--model_dir", default="/tmp/recommend_tpu/ranking")
+    p.add_argument("--eval_every", type=int, default=200)
+    p.add_argument("--patience", type=int, default=5)
+    p.add_argument("--flash", action="store_true")
+    p.add_argument("--remat", action="store_true")
+    p.add_argument("--tame-optimizer", action="store_true",
+                   help="small-scale-friendly lrs instead of the paper's")
+    args = p.parse_args()
+
+    from recommend_tpu.config import get_config
+    from recommend_tpu.data.pipeline import prefetch, ranking_batches
+    from recommend_tpu.data.synthetic import make_ranking_data
+    from recommend_tpu.evaluation.ranking_eval import RankingEvaluator
+    from recommend_tpu.training.ranking_trainer import RankingTrainer
+
+    overrides = dict(
+        batch_size=args.batch_size,
+        use_flash_attention=args.flash,
+        use_remat=args.remat,
+    )
+    if args.tame_optimizer:
+        overrides.update(dense_lr=1e-3, dense_momentum=0.9, sparse_lr=0.05)
+    cfg = get_config(args.config, **overrides)
+
+    data = make_ranking_data(cfg, args.num_samples, args.seq_len, seed=0)
+    train_iter = prefetch(ranking_batches(data, cfg, args.batch_size, seed=0), 4)
+    val_fn = lambda: itertools.islice(
+        ranking_batches(data, cfg, args.batch_size, seed=99), 4
+    )
+
+    trainer = RankingTrainer(
+        cfg,
+        checkpoint_dir=os.path.join(args.model_dir, "ckpt"),
+        log_dir=os.path.join(args.model_dir, "logs"),
+    )
+    state = trainer.train(
+        train_iter, args.steps, val_fn=val_fn, eval_every=args.eval_every,
+        log_every=max(args.steps // 10, 1), early_stop_patience=args.patience,
+    )
+
+    evaluator = RankingEvaluator(cfg, trainer.model, state.params)
+    metrics = evaluator.evaluate(
+        itertools.islice(ranking_batches(data, cfg, args.batch_size, seed=7), 8)
+    )
+    print("offline eval:", json.dumps({k: round(v, 4) if isinstance(v, float) else v
+                                       for k, v in metrics.items()}, indent=2))
+    evaluator.save_report(metrics, os.path.join(args.model_dir, "eval.json"))
+
+    # KV-cached serving demo (cross-candidate cache)
+    from recommend_tpu.serving.ranking_service import RankingInferenceEngine
+
+    engine = RankingInferenceEngine(cfg, state.params, max_seq_len=args.seq_len)
+    user_ctx = {f: 1 for f in cfg.user_features + cfg.context_features}
+    candidates = [
+        {f: i + 1 for f in cfg.item_features} for i in range(10)
+    ]
+    seqs = {sf: [1, 2, 3] for sf in cfg.sequence_features}
+    scored = engine.score_request(user_ctx, seqs, candidates)
+    print("KV-cached scores for 10 candidates:", scored[:3], "...")
+    print("engine stats:", engine.stats())
+
+
+if __name__ == "__main__":
+    main()
