@@ -164,6 +164,11 @@ class RankingConfig:
     tasks: Tuple[str, ...] = ("ctr", "cvr")
     task_head_hidden: int = 128
 
+    # LLM4Rec semantic side-features (llm4rec/semantic_distill/readme.md):
+    # precomputed dense embeddings (distilled offline from an LLM) fed into
+    # the NS tokenizer alongside categorical features. (name, dim) pairs.
+    semantic_features: Tuple[Tuple[str, int], ...] = ()
+
     # dual optimizer (config.py:39-52; paper §4.1.4 translation:190)
     dense_optimizer: str = "rmsprop"
     dense_lr: float = 0.005

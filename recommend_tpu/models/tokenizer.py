@@ -66,10 +66,19 @@ class UnifiedTokenizer(nn.Module):
         )
 
     def ns_tokens(self, non_seq: Dict[str, jax.Array]) -> jax.Array:
-        """[B] int features → [B, n_ns, d] NS tokens (oneTrans model.py:239-254)."""
+        """[B] int features → [B, n_ns, d] NS tokens (oneTrans model.py:239-254).
+
+        Dense LLM-distilled semantic features (cfg.semantic_features, per
+        llm4rec/semantic_distill/readme.md) enter here as extra inputs to the
+        auto-split projection — the "semantic side-features as NS tokens"
+        integration (SURVEY.md §7 phase 9)."""
         cfg = self.config
         parts = [self._embeds[f](non_seq[f]) for f in cfg.non_seq_features]
-        x = jnp.concatenate(parts, axis=-1)  # [B, F·fe]
+        for name, dim in cfg.semantic_features:
+            feat = non_seq[name].astype(parts[0].dtype)
+            assert feat.shape[-1] == dim, (name, feat.shape, dim)
+            parts.append(feat)
+        x = jnp.concatenate(parts, axis=-1)  # [B, F·fe (+ semantic dims)]
         x = self.ns_proj(x)
         return x.reshape(x.shape[0], cfg.num_ns_tokens, cfg.embed_dim)
 

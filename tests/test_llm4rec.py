@@ -1,0 +1,91 @@
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from recommend_tpu.llm4rec.intent_cache import IntentCache
+from recommend_tpu.llm4rec.semantic_distill import (
+    SemanticDistillConfig,
+    SemanticDistillModel,
+    semantic_distill_loss,
+)
+
+
+def test_semantic_distill_shapes_and_training_signal():
+    cfg = SemanticDistillConfig(teacher_dim=64, hidden_dim=32)
+    model = SemanticDistillModel(cfg)
+    rng = np.random.default_rng(0)
+    u = jnp.asarray(rng.normal(size=(8, 64)).astype(np.float32))
+    it = jnp.asarray(rng.normal(size=(8, 64)).astype(np.float32))
+    params = model.init(jax.random.key(0), u, it)
+    out = model.apply(params, u, it)
+    assert out["user_vec"].shape == (8, 128)
+    assert out["user_heads"].shape == (8, 4, 32)
+    # unit-norm output vectors
+    np.testing.assert_allclose(
+        np.linalg.norm(np.asarray(out["user_vec"]), axis=-1), 1.0, rtol=1e-5
+    )
+    loss, metrics = semantic_distill_loss(cfg, out, u, it)
+    assert np.isfinite(float(loss))
+    g = jax.grad(
+        lambda p: semantic_distill_loss(cfg, model.apply(p, u, it), u, it)[0]
+    )(params)
+    assert sum(float(jnp.abs(x).sum()) for x in jax.tree_util.tree_leaves(g)) > 0
+
+
+def test_semantic_features_flow_into_ranking_tokenizer():
+    from recommend_tpu.data.pipeline import ranking_batches
+    from recommend_tpu.data.synthetic import make_ranking_data
+    from recommend_tpu.models.ranking import RankingModel
+    from tests.test_ranking_model import tiny_ranking_cfg
+
+    cfg = tiny_ranking_cfg(semantic_features=(("user_intent", 16),))
+    data = make_ranking_data(cfg, num_samples=8, max_seq_per_feature=8, seed=0)
+    batch = next(iter(ranking_batches(data, cfg, batch_size=4, num_epochs=1)))
+    rng = np.random.default_rng(1)
+    non_seq = {k: jnp.asarray(v) for k, v in batch["non_seq"].items()}
+    non_seq["user_intent"] = jnp.asarray(
+        rng.normal(size=(4, 16)).astype(np.float32)
+    )
+    seqs = {k: jnp.asarray(v) for k, v in batch["sequences"].items()}
+    sv = {k: jnp.asarray(v) for k, v in batch["seq_valid"].items()}
+    model = RankingModel(cfg)
+    params = model.init(jax.random.key(0), non_seq, seqs, sv)
+    out1 = model.apply(params, non_seq, seqs, sv)
+    # the semantic feature must influence predictions
+    non_seq2 = dict(non_seq, user_intent=non_seq["user_intent"] + 1.0)
+    out2 = model.apply(params, non_seq2, seqs, sv)
+    assert float(jnp.max(jnp.abs(out1["ctr"] - out2["ctr"]))) > 1e-6
+
+
+def test_intent_cache_hit_miss_precompute():
+    dim = 8
+    calls = []
+
+    def gen(payload):
+        calls.append(payload)
+        return np.full(dim, float(len(calls)))
+
+    cache = IntentCache(gen, default_intent=np.zeros(dim), async_updates=False)
+    # miss with no payload → default
+    np.testing.assert_array_equal(cache.get("u1"), np.zeros(dim))
+    assert cache.stats["misses"] == 1
+    # miss with payload (sync mode) → generated + cached
+    v = cache.get("u2", payload={"history": [1, 2]})
+    assert v[0] == 1.0
+    np.testing.assert_array_equal(cache.get("u2"), v)
+    assert cache.stats["hits"] == 1
+    # batch precompute
+    cache.precompute({"u3": "p3", "u4": "p4"})
+    assert len(cache) == 3
+    out = cache.batch_get(["u2", "u3", "u4", "ghost"])
+    assert out.shape == (4, dim)
+    np.testing.assert_array_equal(out[3], np.zeros(dim))
+
+
+def test_intent_cache_lru_eviction():
+    cache = IntentCache(lambda p: np.ones(2), np.zeros(2), capacity=2,
+                        async_updates=False)
+    for u in ("a", "b", "c"):
+        cache.get(u, payload=u)
+    assert len(cache) == 2
+    assert cache.get("a")[0] == 0.0  # evicted → default
