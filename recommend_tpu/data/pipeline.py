@@ -95,9 +95,11 @@ def retrieval_batches(
                 order = rng.permutation(len(examples))
                 for i in range(0, len(order) - batch_size + 1, batch_size):
                     idx = order[i : i + batch_size]
-                    yield fill_retrieval_batch(
+                    b = fill_retrieval_batch(
                         lib, flat, ex[idx, 0], ex[idx, 1], cfg.max_seq_len, probs
                     )
+                    b["history_popularity"] = probs[b["history"]["video_id"]]
+                    yield b
                 epoch += 1
             return
 
@@ -129,6 +131,7 @@ def retrieval_batches(
                 "history_valid": valid,
                 "target": tgt,
                 "target_popularity": pop,
+                "history_popularity": probs[hist["video_id"]],
             }
         epoch += 1
 

@@ -61,6 +61,34 @@ def in_batch_softmax_loss(
     return loss, {"loss": loss, "in_batch_accuracy": acc}
 
 
+def seq2seq_in_batch_loss(
+    interests: jax.Array,  # [B, R, k, D] per-position interests (causal)
+    item_embeddings: jax.Array,  # [B, R, D] next-item embedding per position
+    item_popularity: Optional[jax.Array],  # [B, R]
+    valid: jax.Array,  # [B, R] positions with a valid (current, next) pair
+    label_smoothing: float = 0.1,
+) -> Tuple[jax.Array, Dict[str, jax.Array]]:
+    """Causal seq-to-seq training objective (kuaiformer's self-supervised
+    mode, model.py:302-500 + data_loader.py:131-171): at every tail position,
+    predict the next item against in-batch negatives drawn from the same
+    position across the batch. Vectorized as a vmap of the single-position
+    in-batch softmax over the position axis — no [B·L, ...] blowup."""
+
+    def per_position(i, e, p, v):
+        return in_batch_softmax_loss(i, e, p, label_smoothing, valid=v)
+
+    pop_axis = None if item_popularity is None else 1
+    losses, metrics = jax.vmap(
+        per_position, in_axes=(1, 1, pop_axis, 1), out_axes=0
+    )(interests, item_embeddings, item_popularity, valid)
+    # weight positions by their valid-row count
+    w = jnp.sum(valid.astype(jnp.float32), axis=0)  # [R]
+    wsum = jnp.maximum(jnp.sum(w), 1.0)
+    loss = jnp.sum(losses * w) / wsum
+    acc = jnp.sum(metrics["in_batch_accuracy"] * w) / wsum
+    return loss, {"loss": loss, "in_batch_accuracy": acc}
+
+
 def multi_task_bce_loss(
     logits: Dict[str, jax.Array],  # per-task [B] pre-sigmoid logits
     labels: Dict[str, jax.Array],  # per-task [B] {0,1} labels

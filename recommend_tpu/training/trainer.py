@@ -48,22 +48,35 @@ class RetrievalTrainer:
         checkpoint_dir: Optional[str] = None,
         log_dir: Optional[str] = None,
         mesh=None,
+        mode: str = "single",
     ):
         """`mesh`: optional jax.sharding.Mesh('data','model'). When given, the
         batch is sharded over `data` (DP — gradient psum compiles onto ICI),
         large embedding tables row-shard over `model`, and the in-batch
         softmax keeps *global-batch* semantics automatically because the whole
         step is one GSPMD program (solving the LogQ-at-DP-scale hazard,
-        SURVEY.md §7 hard parts)."""
+        SURVEY.md §7 hard parts).
+
+        `mode`: 'single' — one prediction per sequence (kuaiformer
+        bidirectional/causal single mode); 'seq2seq' — causal all-positions
+        self-supervised training: every raw tail position predicts its next
+        item in one interleaved pass (replacing the reference's O(L²) gather
+        construction, model.py:302-500)."""
+        assert mode in ("single", "seq2seq")
         self.cfg = cfg
         self.mesh = mesh
+        self.mode = mode
         self.model = RetrievalTower(cfg)
         self.optimizer = make_retrieval_optimizer(cfg, total_steps)
         self.ckpt = CheckpointManager(checkpoint_dir) if checkpoint_dir else None
         self.logger = MetricLogger(log_dir)
         self.history: Dict[str, list] = {"train": [], "val": []}
 
-        def loss_fn(params, batch, dropout_rng):
+        # raw (uncompressed) tail length — the seq2seq supervised positions
+        last_seg = cfg.schedule_specs()[-1]
+        tail_r = last_seg.num_tokens if last_seg.group_size == 1 else 0
+
+        def single_loss(params, batch, dropout_rng):
             interests = self.model.apply(
                 params,
                 batch["history"],
@@ -79,6 +92,61 @@ class RetrievalTrainer:
                 interests, item_emb, pop, label_smoothing=cfg.label_smoothing
             )
             return loss, metrics
+
+        def seq2seq_loss(params, batch, dropout_rng):
+            from recommend_tpu.models.losses import seq2seq_in_batch_loss
+
+            r, l = tail_r, cfg.max_seq_len
+            t = cfg.num_compressed_tokens
+            all_int = self.model.apply(
+                params,
+                batch["history"],
+                batch["history_valid"],
+                deterministic=False,
+                rngs={"dropout": dropout_rng},
+                method=RetrievalTower.all_position_interests,
+            )  # [B, T, k, D]
+            tail_int = all_int[:, t - r :]
+            # next-item features per tail position: shift history by one; the
+            # final position's next item is the held-out target
+            feats_next = {
+                k: jnp.concatenate(
+                    [batch["history"][k][:, l - r + 1 :], batch["target"][k][:, None]],
+                    axis=1,
+                )
+                for k in batch["history"]
+            }
+            target_emb = self.model.apply(
+                params, feats_next, method=RetrievalTower.item_embeddings
+            )  # [B, R, D]
+            valid_cur = batch["history_valid"][:, l - r :]
+            valid_next = jnp.concatenate(
+                [
+                    batch["history_valid"][:, l - r + 1 :],
+                    jnp.ones((valid_cur.shape[0], 1), dtype=bool),
+                ],
+                axis=1,
+            )
+            pos_valid = valid_cur & valid_next
+            pop = None
+            if cfg.use_logq_correction:
+                pop = jnp.concatenate(
+                    [
+                        batch["history_popularity"][:, l - r + 1 :],
+                        batch["target_popularity"][:, None],
+                    ],
+                    axis=1,
+                )
+            return seq2seq_in_batch_loss(
+                tail_int, target_emb, pop, pos_valid,
+                label_smoothing=cfg.label_smoothing,
+            )
+
+        if mode == "seq2seq":
+            assert tail_r > 1, "seq2seq mode needs a raw (group_size=1) tail segment"
+            loss_fn = seq2seq_loss
+        else:
+            loss_fn = single_loss
 
         @partial(jax.jit, donate_argnums=(0,))
         def train_step(state: TrainState, batch, rng) -> tuple:

@@ -65,3 +65,40 @@ def test_evaluate_returns_metrics(tiny_cfg):
     metrics = trainer.evaluate(state, val)
     assert "recall@1" in metrics and "mrr" in metrics
     assert 0.0 <= metrics["mrr"] <= 1.0
+
+
+def test_seq2seq_training_mode(tiny_cfg):
+    """Causal all-positions self-supervised mode trains and reduces loss."""
+    import dataclasses
+
+    cfg = dataclasses.replace(tiny_cfg, use_causal_mask=True)
+    data = make_retrieval_data(cfg, num_users=50, num_videos=200, seed=3)
+    it = retrieval_batches(data, cfg, batch_size=16, seed=0)
+    trainer = RetrievalTrainer(cfg, total_steps=40, mode="seq2seq")
+    trainer.train(it, num_steps=40, log_every=10)
+    losses = [h["loss"] for h in trainer.history["train"]]
+    assert losses[-1] < losses[0], losses
+
+
+def test_seq2seq_loss_matches_hand_computation():
+    """One position of the vmapped seq2seq loss == the single-position loss."""
+    import jax.numpy as jnp
+    from recommend_tpu.models.losses import (
+        in_batch_softmax_loss,
+        seq2seq_in_batch_loss,
+    )
+
+    rng = np.random.default_rng(0)
+    b, r, k, d = 4, 3, 2, 8
+    interests = jnp.asarray(rng.normal(size=(b, r, k, d)).astype(np.float32))
+    items = jnp.asarray(rng.normal(size=(b, r, d)).astype(np.float32))
+    pop = jnp.asarray(rng.uniform(0.01, 0.2, (b, r)).astype(np.float32))
+    valid = jnp.ones((b, r), dtype=bool)
+    total, _ = seq2seq_in_batch_loss(interests, items, pop, valid, 0.1)
+    per_pos = [
+        float(in_batch_softmax_loss(
+            interests[:, j], items[:, j], pop[:, j], 0.1
+        )[0])
+        for j in range(r)
+    ]
+    np.testing.assert_allclose(float(total), np.mean(per_pos), rtol=1e-5)
