@@ -25,7 +25,10 @@ def main():
     from recommend_tpu.data.synthetic import make_ranking_data
     from recommend_tpu.training.ranking_trainer import RankingTrainer
 
-    # OneTrans-S-like: 6 layers, d=256, 12 NS tokens, ~350 S tokens
+    # OneTrans-S-like: 6 layers, d=256, 12 NS tokens, ~350 S tokens.
+    # feature dims are lane-aligned (128) — 64-wide tables provoke XLA layout
+    # transposes that copy the [1M, d] tables every step (profiled); sparse
+    # embedding updates keep optimizer cost O(touched rows).
     cfg = get_config(
         "ranking_base",
         embed_dim=256,
@@ -38,6 +41,9 @@ def main():
         use_mixed_precision=True,
         use_remat=False,
         dropout_rate=0.0,
+        feature_embed_dim=128,
+        seq_item_feature_dim=128,
+        use_sparse_embedding_updates=True,
         dense_lr=1e-3,
         dense_momentum=0.9,
         sparse_lr=0.05,

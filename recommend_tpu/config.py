@@ -183,6 +183,9 @@ class RankingConfig:
     use_kv_cache: bool = False
     use_flash_attention: bool = False
     use_remat: bool = False
+    # touched-row-only embedding updates (the "sparse embedding server"
+    # capability, SURVEY.md §5.8) — O(N·D) instead of O(V·D) per step
+    use_sparse_embedding_updates: bool = False
     param_dtype: str = "float32"
     compute_dtype: str = "bfloat16"
 

@@ -291,10 +291,12 @@ class RankingModel(nn.Module):
         sequences: Dict[str, jax.Array],
         seq_valid: Dict[str, jax.Array],
         deterministic: bool = True,
+        dummies: Optional[Dict[str, jax.Array]] = None,
     ) -> Dict[str, jax.Array]:
-        """Training/eval forward → per-task logits [B]."""
+        """Training/eval forward → per-task logits [B]. `dummies` routes
+        embedding gradients to per-lookup arrays for sparse updates."""
         cfg = self.config
-        x, valid = self.tokenizer(non_seq, sequences, seq_valid)
+        x, valid = self.tokenizer(non_seq, sequences, seq_valid, dummies)
         total = x.shape[1]
         keeps = pyramid_keep_lengths(cfg, total)
         s_len = total - cfg.num_ns_tokens

@@ -18,7 +18,7 @@ translation:95-97):
 
 from __future__ import annotations
 
-from typing import Dict, Tuple
+from typing import Dict, Optional, Tuple
 
 import jax
 import jax.numpy as jnp
@@ -65,7 +65,22 @@ class UnifiedTokenizer(nn.Module):
             (cfg.embed_dim,), pdt,
         )
 
-    def ns_tokens(self, non_seq: Dict[str, jax.Array]) -> jax.Array:
+    def _lookup(self, emb: nn.Embed, ids: jax.Array, dummy) -> jax.Array:
+        """Embedding gather; with a `dummy` zeros array the table is
+        stop-gradient'd and gradients flow to the dummy (the sparse-update
+        path, recommend_tpu.ops.sparse_embed)."""
+        if dummy is None:
+            return emb(ids)
+        from recommend_tpu.ops.sparse_embed import lookup_with_dummy
+
+        cdt = jnp.dtype(self.config.active_compute_dtype)
+        return lookup_with_dummy(emb.embedding, ids, dummy).astype(cdt)
+
+    def ns_tokens(
+        self,
+        non_seq: Dict[str, jax.Array],
+        dummies: Optional[Dict[str, jax.Array]] = None,
+    ) -> jax.Array:
         """[B] int features → [B, n_ns, d] NS tokens (oneTrans model.py:239-254).
 
         Dense LLM-distilled semantic features (cfg.semantic_features, per
@@ -73,7 +88,13 @@ class UnifiedTokenizer(nn.Module):
         auto-split projection — the "semantic side-features as NS tokens"
         integration (SURVEY.md §7 phase 9)."""
         cfg = self.config
-        parts = [self._embeds[f](non_seq[f]) for f in cfg.non_seq_features]
+        parts = [
+            self._lookup(
+                self._embeds[f], non_seq[f],
+                None if dummies is None else dummies.get(f"ns_{f}"),
+            )
+            for f in cfg.non_seq_features
+        ]
         for name, dim in cfg.semantic_features:
             feat = non_seq[name].astype(parts[0].dtype)
             assert feat.shape[-1] == dim, (name, feat.shape, dim)
@@ -86,6 +107,7 @@ class UnifiedTokenizer(nn.Module):
         self,
         sequences: Dict[str, jax.Array],
         seq_valid: Dict[str, jax.Array],
+        dummies: Optional[Dict[str, jax.Array]] = None,
     ) -> Tuple[jax.Array, jax.Array]:
         """Per-sequence item ids [B, L_i] → concatenated S tokens with [SEP]
         between sequences (oneTrans model.py:256-277). Returns
@@ -96,7 +118,10 @@ class UnifiedTokenizer(nn.Module):
         for i, sf in enumerate(names):
             ids = sequences[sf]
             b = ids.shape[0]
-            e = self.item_embed(ids)  # [B, L, fe]
+            e = self._lookup(
+                self.item_embed, ids,
+                None if dummies is None else dummies.get(f"seq_{sf}"),
+            )  # [B, L, fe]
             t = self.seq_proj(e)  # [B, L, d]  (shared projection)
             toks.append(t)
             valids.append(seq_valid[sf])
@@ -113,10 +138,11 @@ class UnifiedTokenizer(nn.Module):
         non_seq: Dict[str, jax.Array],
         sequences: Dict[str, jax.Array],
         seq_valid: Dict[str, jax.Array],
+        dummies: Optional[Dict[str, jax.Array]] = None,
     ) -> Tuple[jax.Array, jax.Array]:
         """Full token stream [S; NS] → ([B, L, d], [B, L] validity)."""
-        s, s_valid = self.s_tokens(sequences, seq_valid)
-        ns = self.ns_tokens(non_seq)
+        s, s_valid = self.s_tokens(sequences, seq_valid, dummies)
+        ns = self.ns_tokens(non_seq, dummies)
         b = ns.shape[0]
         tokens = jnp.concatenate([s, ns], axis=1)
         valid = jnp.concatenate(

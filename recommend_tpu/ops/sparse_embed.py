@@ -1,0 +1,113 @@
+"""Sparse embedding updates — touched-row-only optimizer steps.
+
+Why: a dense optimizer update on an embedding table costs O(V·D) memory
+traffic per step regardless of how few rows the batch touched. Profiling the
+ranking step showed ~50% of device time in [1M, 128] adagrad fusions; the
+flagship retrieval config has a 10M-row video table where dense updates
+dominate everything. This module is the TPU-native realization of the
+reference's "dedicated sparse-embedding servers" capability (kuaiformer
+translation:214): updates cost O(N·D) for N batch lookups.
+
+Mechanics (all static-shaped, jit/GSPMD-safe):
+  - lookups go through ``lookup_with_dummy``: the table is stop-gradient'd
+    and a differentiable zeros "dummy" rides along, so the backward pass
+    yields per-lookup row gradients [N, D] instead of a dense scatter into
+    [V, D].
+  - ``dedup_sum``: sort ids + segment-sum → per-unique-row total gradients
+    (exact adagrad semantics under duplicate ids: accumulate (Σg)², not Σg²).
+    Padding slots use id == vocab and are dropped by scatter mode.
+  - ``sparse_adagrad_apply``: gather touched accumulator rows, update, and
+    scatter back — table and accumulator are donated/aliased by XLA.
+"""
+
+from __future__ import annotations
+
+from typing import Dict, NamedTuple, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+
+
+def lookup_with_dummy(
+    table: jax.Array, ids: jax.Array, dummy: Optional[jax.Array]
+) -> jax.Array:
+    """Embedding gather whose gradient flows into `dummy` (shape ids + [D])
+    instead of a dense table cotangent. With dummy=None this is a plain
+    (dense-grad) lookup."""
+    if dummy is None:
+        return jnp.take(table, ids, axis=0)
+    return jnp.take(jax.lax.stop_gradient(table), ids, axis=0) + dummy
+
+
+def make_dummy(ids_shape: Tuple[int, ...], dim: int, dtype) -> jax.Array:
+    return jnp.zeros(ids_shape + (dim,), dtype=dtype)
+
+
+def dedup_sum(
+    ids: jax.Array,  # [N] int
+    grads: jax.Array,  # [N, D]
+    vocab: int,
+) -> Tuple[jax.Array, jax.Array]:
+    """→ (unique_ids [N], row_grads [N, D]); slots past the unique count have
+    id == vocab (out-of-range ⇒ dropped by downstream scatter)."""
+    n = ids.shape[0]
+    order = jnp.argsort(ids)
+    sids = ids[order]
+    sg = grads[order]
+    starts = jnp.concatenate(
+        [jnp.ones((1,), dtype=bool), sids[1:] != sids[:-1]]
+    )
+    seg = jnp.cumsum(starts) - 1  # [N] segment index per sorted element
+    summed = jax.ops.segment_sum(sg, seg, num_segments=n)  # [N, D]
+    # unique id of segment j: max over members (all equal)
+    uids = jax.ops.segment_max(sids, seg, num_segments=n)
+    # segments beyond the unique count received no members → segment_max
+    # returns the dtype min; remap anything out of [0, vocab) to `vocab`
+    n_unique = jnp.sum(starts)
+    slot = jnp.arange(n)
+    uids = jnp.where(slot < n_unique, uids, vocab)
+    return uids.astype(jnp.int32), summed
+
+
+def sparse_adagrad_apply(
+    table: jax.Array,  # [V, D]
+    accum: jax.Array,  # [V, D]
+    unique_ids: jax.Array,  # [N] (== V for padding slots)
+    row_grads: jax.Array,  # [N, D]
+    lr: float,
+    eps: float = 1e-7,
+) -> Tuple[jax.Array, jax.Array]:
+    """Adagrad on the touched rows only; O(N·D) traffic. Matches
+    optax.adagrad exactly (optax.scale_by_rss semantics: accum += g²,
+    update = g·rsqrt(accum+eps) gated on accum > 0; pair with accumulators
+    initialized to optax's default 0.1)."""
+    safe = jnp.minimum(unique_ids, table.shape[0] - 1)
+    pad = (unique_ids >= table.shape[0])[:, None]
+    g = jnp.where(pad, 0.0, row_grads.astype(jnp.float32))
+    acc_rows = accum[safe].astype(jnp.float32) + jnp.square(g)
+    delta = lr * g * jnp.where(
+        acc_rows > 0, jax.lax.rsqrt(acc_rows + eps), 0.0
+    )
+    new_table = table.at[unique_ids].add(
+        -delta.astype(table.dtype), mode="drop"
+    )
+    new_accum = accum.at[unique_ids].set(
+        jnp.where(pad, accum[safe].astype(jnp.float32), acc_rows).astype(accum.dtype),
+        mode="drop",
+    )
+    return new_table, new_accum
+
+
+def sparse_update_table(
+    table: jax.Array,
+    accum: jax.Array,
+    ids: jax.Array,  # any shape, flattened internally
+    dummy_grads: jax.Array,  # ids.shape + [D]
+    lr: float,
+    eps: float = 1e-7,
+) -> Tuple[jax.Array, jax.Array]:
+    d = table.shape[-1]
+    ids_flat = ids.reshape(-1)
+    g_flat = dummy_grads.reshape(-1, d)
+    uids, row_grads = dedup_sum(ids_flat, g_flat, table.shape[0])
+    return sparse_adagrad_apply(table, accum, uids, row_grads, lr, eps)

@@ -57,15 +57,22 @@ def make_ranking_optimizer(cfg: RankingConfig) -> optax.GradientTransformation:
 
     The reference clips per-tensor (oneTrans train.py:133-135); we use the
     global-norm clip the paper specifies (clip 90, config.py:52).
+
+    With ``use_sparse_embedding_updates`` the embedding tables are excluded
+    here (zero update) and maintained by the touched-row sparse-adagrad path
+    in the trainer (recommend_tpu.ops.sparse_embed).
     """
     dense = {
         "rmsprop": optax.rmsprop(cfg.dense_lr, momentum=cfg.dense_momentum),
         "adam": optax.adam(cfg.dense_lr),
     }[cfg.dense_optimizer]
-    sparse = {
-        "adagrad": optax.adagrad(cfg.sparse_lr),
-        "sgd": optax.sgd(cfg.sparse_lr),
-    }[cfg.sparse_optimizer]
+    if cfg.use_sparse_embedding_updates:
+        sparse = optax.set_to_zero()
+    else:
+        sparse = {
+            "adagrad": optax.adagrad(cfg.sparse_lr),
+            "sgd": optax.sgd(cfg.sparse_lr),
+        }[cfg.sparse_optimizer]
 
     def label_fn(params) -> Any:
         return jax.tree_util.tree_map_with_path(

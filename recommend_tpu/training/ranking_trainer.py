@@ -52,24 +52,99 @@ class RankingTrainer:
         self.logger = MetricLogger(log_dir)
         self.history: Dict[str, list] = {"train": [], "val": []}
         self._auc = streaming_auc()
+        sparse = cfg.use_sparse_embedding_updates
 
-        def loss_fn(params, batch, dropout_rng):
+        def make_dummies(batch):
+            """Zeros that receive per-lookup embedding gradients (the
+            sparse-update path, recommend_tpu.ops.sparse_embed)."""
+            d = {}
+            for f in cfg.non_seq_features:
+                d[f"ns_{f}"] = jnp.zeros(
+                    batch["non_seq"][f].shape + (cfg.feature_embed_dim,),
+                    jnp.float32,
+                )
+            for sf in cfg.sequence_features:
+                if sf in batch["sequences"]:
+                    d[f"seq_{sf}"] = jnp.zeros(
+                        batch["sequences"][sf].shape + (cfg.seq_item_feature_dim,),
+                        jnp.float32,
+                    )
+            return d
+
+        def loss_fn(params, dummies, batch, dropout_rng):
             logits = self.model.apply(
                 params,
                 batch["non_seq"],
                 batch["sequences"],
                 batch["seq_valid"],
                 deterministic=False,
+                dummies=dummies,
                 rngs={"dropout": dropout_rng},
             )
             loss, metrics = multi_task_bce_loss(logits, batch["labels"])
             return loss, (metrics, logits)
 
+        def apply_sparse_updates(params, accums, dummy_grads, batch):
+            """Touched-row adagrad on every embedding table; returns updated
+            (params, accums)."""
+            from recommend_tpu.ops.sparse_embed import sparse_update_table
+
+            tok = dict(params["params"]["tokenizer"])
+            new_accums = dict(accums)
+            # shared item table: concat ids/grads across behavior sequences
+            seq_names = [sf for sf in cfg.sequence_features
+                         if f"seq_{sf}" in dummy_grads]
+            if seq_names:
+                ids = jnp.concatenate(
+                    [batch["sequences"][sf].reshape(-1) for sf in seq_names]
+                )
+                g = jnp.concatenate(
+                    [dummy_grads[f"seq_{sf}"].reshape(-1, cfg.seq_item_feature_dim)
+                     for sf in seq_names]
+                )
+                table, accum = sparse_update_table(
+                    tok["embed_seq_item"]["embedding"],
+                    accums["embed_seq_item"], ids, g, cfg.sparse_lr,
+                )
+                tok["embed_seq_item"] = {"embedding": table}
+                new_accums["embed_seq_item"] = accum
+            for f in cfg.non_seq_features:
+                key = f"embed_{f}"
+                table, accum = sparse_update_table(
+                    tok[key]["embedding"], accums[key],
+                    batch["non_seq"][f], dummy_grads[f"ns_{f}"], cfg.sparse_lr,
+                )
+                tok[key] = {"embedding": table}
+                new_accums[key] = accum
+            new_params = dict(params)
+            inner = dict(new_params["params"])
+            inner["tokenizer"] = {**params["params"]["tokenizer"], **tok}
+            new_params["params"] = inner
+            return new_params, new_accums
+
         @partial(jax.jit, donate_argnums=(0,))
         def train_step(state: TrainState, batch, rng):
             dropout_rng = jax.random.fold_in(rng, state.step)
+            if sparse:
+                optax_state, accums = state.opt_state
+                dummies = make_dummies(batch)
+                (gparams, gdummies), (metrics, _) = jax.grad(
+                    loss_fn, argnums=(0, 1), has_aux=True
+                )(state.params, dummies, batch, dropout_rng)
+                updates, optax_state = self.optimizer.update(
+                    gparams, optax_state, state.params
+                )
+                params = optax.apply_updates(state.params, updates)
+                params, accums = apply_sparse_updates(
+                    params, accums, gdummies, batch
+                )
+                metrics["grad_norm"] = optax.global_norm(gparams)
+                return (
+                    TrainState(params, (optax_state, accums), state.step + 1),
+                    metrics,
+                )
             grads, (metrics, _) = jax.grad(loss_fn, has_aux=True)(
-                state.params, batch, dropout_rng
+                state.params, None, batch, dropout_rng
             )
             updates, opt_state = self.optimizer.update(
                 grads, state.opt_state, state.params
@@ -120,6 +195,15 @@ class RankingTrainer:
                 rng, batch["non_seq"], batch["sequences"], batch["seq_valid"]
             )
             opt_state = self.optimizer.init(params)
+        if self.cfg.use_sparse_embedding_updates:
+            tok = params["params"]["tokenizer"]
+            # optax.adagrad's default initial accumulator (0.1) for exact parity
+            accums = {
+                name: jnp.full_like(sub["embedding"], 0.1, dtype=jnp.float32)
+                for name, sub in tok.items()
+                if isinstance(sub, dict) and "embedding" in sub
+            }
+            opt_state = (opt_state, accums)
         state = TrainState(params, opt_state, jnp.zeros((), jnp.int32))
         if self.ckpt is not None:
             restored = self.ckpt.restore(params, opt_state)

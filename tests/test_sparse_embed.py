@@ -1,0 +1,126 @@
+"""Sparse embedding updates must exactly match dense adagrad."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import optax
+
+from recommend_tpu.ops.sparse_embed import (
+    dedup_sum,
+    lookup_with_dummy,
+    make_dummy,
+    sparse_update_table,
+)
+
+
+def test_dedup_sum():
+    ids = jnp.asarray([3, 1, 3, 7, 1, 1])
+    g = jnp.arange(12, dtype=jnp.float32).reshape(6, 2)
+    uids, summed = dedup_sum(ids, g, vocab=10)
+    got = {}
+    for u, row in zip(np.asarray(uids), np.asarray(summed)):
+        if u < 10:
+            got[int(u)] = row
+    np.testing.assert_allclose(got[1], g[1] + g[4] + g[5])
+    np.testing.assert_allclose(got[3], g[0] + g[2])
+    np.testing.assert_allclose(got[7], g[3])
+    assert set(got) == {1, 3, 7}
+    # padding slots marked with vocab
+    assert int(jnp.sum(uids == 10)) == 3
+
+
+def test_sparse_matches_dense_adagrad():
+    """One step of {dense grads + optax.adagrad} vs {dummy grads + sparse
+    update} on a toy lookup loss — identical tables afterward."""
+    rng = np.random.default_rng(0)
+    v, d, n = 50, 8, 12
+    lr = 0.1
+    table0 = jnp.asarray(rng.normal(size=(v, d)).astype(np.float32))
+    ids = jnp.asarray(rng.integers(0, v, n))
+    target = jnp.asarray(rng.normal(size=(n, d)).astype(np.float32))
+
+    # dense path
+    def dense_loss(table):
+        return jnp.sum(jnp.square(jnp.take(table, ids, axis=0) - target))
+
+    opt = optax.adagrad(lr)
+    state = opt.init(table0)
+    g = jax.grad(dense_loss)(table0)
+    upd, _ = opt.update(g, state, table0)
+    dense_table = optax.apply_updates(table0, upd)
+
+    # sparse path
+    def sparse_loss(dummy):
+        return jnp.sum(
+            jnp.square(lookup_with_dummy(table0, ids, dummy) - target)
+        )
+
+    dummy = make_dummy(ids.shape, d, jnp.float32)
+    dg = jax.grad(sparse_loss)(dummy)
+    accum0 = jnp.full((v, d), 0.1, jnp.float32)
+    sparse_table, accum1 = sparse_update_table(table0, accum0, ids, dg, lr)
+
+    np.testing.assert_allclose(
+        np.asarray(dense_table), np.asarray(sparse_table), rtol=1e-5, atol=1e-6
+    )
+    # untouched rows unchanged
+    untouched = np.setdiff1d(np.arange(v), np.asarray(ids))
+    np.testing.assert_array_equal(
+        np.asarray(sparse_table)[untouched], np.asarray(table0)[untouched]
+    )
+    # accumulator only grew on touched rows
+    np.testing.assert_allclose(np.asarray(accum1)[untouched], 0.1)
+
+
+def test_two_steps_accumulate():
+    """Accumulator must persist across steps (adagrad semantics)."""
+    v, d = 10, 4
+    table = jnp.ones((v, d))
+    accum = jnp.full((v, d), 0.1)
+    ids = jnp.asarray([2, 2, 5])
+    g = jnp.ones((3, d))
+    t1, a1 = sparse_update_table(table, accum, ids, g, lr=1.0)
+    t2, a2 = sparse_update_table(t1, a1, ids, g, lr=1.0)
+    # row 2 total grad per step = 2 → accum after 2 steps = 0.1 + 8
+    np.testing.assert_allclose(np.asarray(a2)[2], 8.1, rtol=1e-6)
+    # second-step delta smaller than first (growing accumulator)
+    d1 = np.asarray(table - t1)[2, 0]
+    d2 = np.asarray(t1 - t2)[2, 0]
+    assert 0 < d2 < d1
+
+
+def test_ranking_trainer_sparse_matches_dense():
+    """Full ranking train step: sparse-update path == dense-adagrad path."""
+    import jax
+
+    from recommend_tpu.data.pipeline import ranking_batches
+    from recommend_tpu.data.synthetic import make_ranking_data
+    from recommend_tpu.training.ranking_trainer import RankingTrainer
+    from tests.test_ranking_model import tiny_ranking_cfg
+
+    cfg_d = tiny_ranking_cfg(batch_size=8)
+    cfg_s = tiny_ranking_cfg(batch_size=8, use_sparse_embedding_updates=True)
+    data = make_ranking_data(cfg_d, num_samples=32, max_seq_per_feature=6, seed=0)
+    batch = next(iter(ranking_batches(data, cfg_d, batch_size=8, num_epochs=1)))
+
+    td = RankingTrainer(cfg_d)
+    ts = RankingTrainer(cfg_s)
+    sd = td.init_state(jax.random.key(0), batch)
+    ss = ts.init_state(jax.random.key(0), batch)
+    # identical initial params
+    for a, b in zip(jax.tree_util.tree_leaves(sd.params),
+                    jax.tree_util.tree_leaves(ss.params)):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+    for i in range(3):
+        sd, md = td._train_step(sd, td._put_batch(batch), jax.random.key(1))
+        ss, ms = ts._train_step(ss, ts._put_batch(batch), jax.random.key(1))
+    np.testing.assert_allclose(float(md["loss"]), float(ms["loss"]), rtol=1e-5)
+    # all params (incl. embedding tables) match after 3 steps
+    flat_d = jax.tree_util.tree_leaves_with_path(sd.params)
+    flat_s = jax.tree_util.tree_leaves_with_path(ss.params)
+    for (pa, a), (pb, b) in zip(flat_d, flat_s):
+        np.testing.assert_allclose(
+            np.asarray(a), np.asarray(b), rtol=2e-4, atol=2e-6,
+            err_msg=str(pa),
+        )
