@@ -101,6 +101,12 @@ class RetrievalConfig:
     compute_dtype: str = "bfloat16"
     use_remat: bool = False
     use_flash_attention: bool = False  # Pallas path; jnp reference path otherwise
+    # touched-row-only updates for the big id tables (video/category/tag) —
+    # mandatory at the 10M-video production vocab where dense AdamW traffic
+    # on the table dwarfs the model (SURVEY.md §5.8 embedding-server analog).
+    # Dense AdamW remains for everything else (incl. the small bucket tables).
+    use_sparse_embedding_updates: bool = False
+    sparse_embedding_lr: float = 0.05
 
     def schedule_specs(self) -> List[CompressionGroupSpec]:
         return [CompressionGroupSpec(l, g) for l, g in self.compression_schedule]

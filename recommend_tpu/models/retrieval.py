@@ -113,8 +113,8 @@ class RetrievalTower(nn.Module):
         ]
         self.final_norm = RMSNorm(name="final_norm", param_dtype=pdt)
 
-    def _tokens(self, features, valid):
-        x = self.embedder(features)  # [B, L, D]
+    def _tokens(self, features, valid, dummies=None):
+        x = self.embedder(features, dummies)  # [B, L, D]
         return self.compressor(x, valid)  # [B, T, D], [B, T]
 
     def __call__(
@@ -122,12 +122,13 @@ class RetrievalTower(nn.Module):
         features: Dict[str, jax.Array],
         valid: jax.Array,
         deterministic: bool = True,
+        dummies: Optional[Dict[str, jax.Array]] = None,
     ) -> jax.Array:
         """Single-prediction mode → [B, k, D] interest vectors
         (kuaiformer `_call_bidirectional_single_sequence`, model.py:274-300;
         causal single-sequence when cfg.use_causal_mask)."""
         cfg = self.config
-        tokens, token_valid = self._tokens(features, valid)
+        tokens, token_valid = self._tokens(features, valid, dummies)
         b, t, d = tokens.shape
         k = cfg.num_query_tokens
         q = jnp.broadcast_to(
@@ -144,12 +145,13 @@ class RetrievalTower(nn.Module):
         features: Dict[str, jax.Array],
         valid: jax.Array,
         deterministic: bool = True,
+        dummies: Optional[Dict[str, jax.Array]] = None,
     ) -> jax.Array:
         """Causal seq-to-seq mode → [B, T, k, D]: interests after every
         compressed-token prefix, in ONE pass (replaces the reference's
         O(L²)-memory gather construction, model.py:302-500)."""
         cfg = self.config
-        tokens, token_valid = self._tokens(features, valid)
+        tokens, token_valid = self._tokens(features, valid, dummies)
         b, t, d = tokens.shape
         k = cfg.num_query_tokens
         q = jnp.broadcast_to(
@@ -162,11 +164,15 @@ class RetrievalTower(nn.Module):
         out = self.final_norm(x[:, t:])
         return out.reshape(b, t, k, d)
 
-    def item_embeddings(self, features: Dict[str, jax.Array]) -> jax.Array:
+    def item_embeddings(
+        self,
+        features: Dict[str, jax.Array],
+        dummies: Optional[Dict[str, jax.Array]] = None,
+    ) -> jax.Array:
         """Candidate-side tower: same feature embedding as history items
         (reference uses raw video_id embeddings, train.py:231; we use the full
         fused item embedding for a symmetric two-tower geometry)."""
-        return self.embedder(features)
+        return self.embedder(features, dummies)
 
     @staticmethod
     def compute_scores(interests: jax.Array, candidates: jax.Array) -> jax.Array:

@@ -14,7 +14,7 @@ functional core it wraps.
 
 from __future__ import annotations
 
-from typing import Dict
+from typing import Dict, Optional
 
 import jax
 import jax.numpy as jnp
@@ -35,16 +35,28 @@ def bucketize_timestamp(ts: jax.Array, n_buckets: int) -> jax.Array:
     return (ts % n_buckets).astype(jnp.int32)
 
 
+# id-keyed tables eligible for sparse (touched-row) updates
+SPARSE_TABLES = ("video_id", "category", "tag")
+
+
 class FeatureEmbedding(nn.Module):
     """Per-item token builder: 5 embeddings → concat → fusion MLP → RMSNorm."""
 
     config: RetrievalConfig
 
     @nn.compact
-    def __call__(self, features: Dict[str, jax.Array]) -> jax.Array:
+    def __call__(
+        self,
+        features: Dict[str, jax.Array],
+        dummies: Optional[Dict[str, jax.Array]] = None,
+    ) -> jax.Array:
         """features: dict with int arrays of shape [..., L]:
         ``video_id``, ``category``, ``tag`` (int ids), ``duration`` (float
         seconds), ``timestamp`` (int seconds). Returns [..., L, D] tokens.
+
+        ``dummies`` (name → zeros of ids.shape + [D]) routes the id-table
+        gradients to per-lookup arrays for the sparse-update path
+        (recommend_tpu.ops.sparse_embed); bucket tables stay dense.
         """
         cfg = self.config
         d = cfg.embed_dim
@@ -57,9 +69,17 @@ class FeatureEmbedding(nn.Module):
                 embedding_init=nn.initializers.normal(stddev=0.02),
             )
 
-        e_video = table("video_id", cfg.video_vocab_size)(features["video_id"])
-        e_cat = table("category", cfg.category_vocab_size)(features["category"])
-        e_tag = table("tag", cfg.tag_vocab_size)(features["tag"])
+        def lookup(name, vocab, ids):
+            emb = table(name, vocab)
+            if dummies is None or name not in dummies:
+                return emb(ids)
+            from recommend_tpu.ops.sparse_embed import lookup_with_dummy
+
+            return lookup_with_dummy(emb.embedding, ids, dummies[name]).astype(cdt)
+
+        e_video = lookup("video_id", cfg.video_vocab_size, features["video_id"])
+        e_cat = lookup("category", cfg.category_vocab_size, features["category"])
+        e_tag = lookup("tag", cfg.tag_vocab_size, features["tag"])
         dur_b = bucketize_duration(features["duration"], cfg.max_duration_s, cfg.duration_buckets)
         e_dur = table("duration", cfg.duration_buckets)(dur_b)
         ts_b = bucketize_timestamp(features["timestamp"], cfg.time_buckets)
@@ -72,7 +92,11 @@ class FeatureEmbedding(nn.Module):
         x = nn.Dense(d, name="fuse_out", param_dtype=pdt, dtype=cdt)(x)
         return RMSNorm(name="fuse_norm", param_dtype=pdt)(x)
 
-    def item_embeddings(self, features: Dict[str, jax.Array]) -> jax.Array:
+    def item_embeddings(
+        self,
+        features: Dict[str, jax.Array],
+        dummies: Optional[Dict[str, jax.Array]] = None,
+    ) -> jax.Array:
         """Alias used by retrieval scoring: embed candidate items the same way
         user-history items are embedded (shared item tower)."""
-        return self(features)
+        return self(features, dummies)

@@ -37,12 +37,35 @@ def make_retrieval_optimizer(
     cfg: RetrievalConfig, total_steps: int = 100_000
 ) -> optax.GradientTransformation:
     sched = warmup_cosine_schedule(cfg.learning_rate, cfg.warmup_steps, total_steps)
-    return optax.adamw(
+    adamw = optax.adamw(
         learning_rate=sched,
         b1=cfg.adam_b1,
         b2=cfg.adam_b2,
         weight_decay=cfg.weight_decay,
     )
+    if not cfg.use_sparse_embedding_updates:
+        return adamw
+    # big id tables excluded here; maintained by the touched-row sparse path
+    from recommend_tpu.ops.embedding import SPARSE_TABLES
+
+    def label_fn(params) -> Any:
+        def label(path, _):
+            keys = _path_keys_str(path)
+            if keys and keys[-1] == "embedding" and any(
+                k in SPARSE_TABLES for k in keys
+            ):
+                return "frozen"
+            return "dense"
+
+        return jax.tree_util.tree_map_with_path(label, params)
+
+    return optax.multi_transform(
+        {"dense": adamw, "frozen": optax.set_to_zero()}, label_fn
+    )
+
+
+def _path_keys_str(path) -> list:
+    return [getattr(p, "key", getattr(p, "name", str(p))) for p in path]
 
 
 def _is_sparse_path(path: tuple) -> bool:

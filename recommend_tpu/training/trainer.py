@@ -75,17 +75,54 @@ class RetrievalTrainer:
         # raw (uncompressed) tail length — the seq2seq supervised positions
         last_seg = cfg.schedule_specs()[-1]
         tail_r = last_seg.num_tokens if last_seg.group_size == 1 else 0
+        sparse = cfg.use_sparse_embedding_updates
 
-        def single_loss(params, batch, dropout_rng):
+        from recommend_tpu.ops.embedding import SPARSE_TABLES
+
+        def make_dummies(batch):
+            if not sparse:
+                return None
+            d = cfg.embed_dim
+            hist = {
+                k: jnp.zeros(batch["history"][k].shape + (d,), jnp.float32)
+                for k in SPARSE_TABLES
+            }
+            if self.mode == "seq2seq":
+                b = batch["target"]["video_id"].shape[0]
+                tgt = {
+                    k: jnp.zeros((b, tail_r, d), jnp.float32)
+                    for k in SPARSE_TABLES
+                }
+            else:
+                tgt = {
+                    k: jnp.zeros(batch["target"][k].shape + (d,), jnp.float32)
+                    for k in SPARSE_TABLES
+                }
+            return {"hist": hist, "tgt": tgt}
+
+        def _seq2seq_next_feats(batch):
+            r, l = tail_r, cfg.max_seq_len
+            return {
+                k: jnp.concatenate(
+                    [batch["history"][k][:, l - r + 1 :], batch["target"][k][:, None]],
+                    axis=1,
+                )
+                for k in batch["history"]
+            }
+
+        def single_loss(params, dummies, batch, dropout_rng):
             interests = self.model.apply(
                 params,
                 batch["history"],
                 batch["history_valid"],
                 deterministic=False,
+                dummies=None if dummies is None else dummies["hist"],
                 rngs={"dropout": dropout_rng},
             )
             item_emb = self.model.apply(
-                params, batch["target"], method=RetrievalTower.item_embeddings
+                params, batch["target"],
+                None if dummies is None else dummies["tgt"],
+                method=RetrievalTower.item_embeddings,
             )
             pop = batch["target_popularity"] if cfg.use_logq_correction else None
             loss, metrics = in_batch_softmax_loss(
@@ -93,7 +130,7 @@ class RetrievalTrainer:
             )
             return loss, metrics
 
-        def seq2seq_loss(params, batch, dropout_rng):
+        def seq2seq_loss(params, dummies, batch, dropout_rng):
             from recommend_tpu.models.losses import seq2seq_in_batch_loss
 
             r, l = tail_r, cfg.max_seq_len
@@ -103,21 +140,18 @@ class RetrievalTrainer:
                 batch["history"],
                 batch["history_valid"],
                 deterministic=False,
+                dummies=None if dummies is None else dummies["hist"],
                 rngs={"dropout": dropout_rng},
                 method=RetrievalTower.all_position_interests,
             )  # [B, T, k, D]
             tail_int = all_int[:, t - r :]
             # next-item features per tail position: shift history by one; the
             # final position's next item is the held-out target
-            feats_next = {
-                k: jnp.concatenate(
-                    [batch["history"][k][:, l - r + 1 :], batch["target"][k][:, None]],
-                    axis=1,
-                )
-                for k in batch["history"]
-            }
+            feats_next = _seq2seq_next_feats(batch)
             target_emb = self.model.apply(
-                params, feats_next, method=RetrievalTower.item_embeddings
+                params, feats_next,
+                None if dummies is None else dummies["tgt"],
+                method=RetrievalTower.item_embeddings,
             )  # [B, R, D]
             valid_cur = batch["history_valid"][:, l - r :]
             valid_next = jnp.concatenate(
@@ -148,11 +182,61 @@ class RetrievalTrainer:
         else:
             loss_fn = single_loss
 
+        def apply_sparse_updates(params, accums, dummy_grads, batch):
+            from recommend_tpu.ops.sparse_embed import sparse_update_table
+
+            if self.mode == "seq2seq":
+                tgt_feats = _seq2seq_next_feats(batch)
+            else:
+                tgt_feats = batch["target"]
+            emb = dict(params["params"]["embed"])
+            new_accums = dict(accums)
+            for name in SPARSE_TABLES:
+                ids = jnp.concatenate(
+                    [
+                        batch["history"][name].reshape(-1),
+                        tgt_feats[name].reshape(-1),
+                    ]
+                )
+                g = jnp.concatenate(
+                    [
+                        dummy_grads["hist"][name].reshape(-1, cfg.embed_dim),
+                        dummy_grads["tgt"][name].reshape(-1, cfg.embed_dim),
+                    ]
+                )
+                table, accum = sparse_update_table(
+                    emb[name]["embedding"], accums[name], ids, g,
+                    cfg.sparse_embedding_lr,
+                )
+                emb[name] = {**emb[name], "embedding": table}
+                new_accums[name] = accum
+            new_params = dict(params)
+            inner = dict(new_params["params"])
+            inner["embed"] = {**params["params"]["embed"], **emb}
+            new_params["params"] = inner
+            return new_params, new_accums
+
         @partial(jax.jit, donate_argnums=(0,))
         def train_step(state: TrainState, batch, rng) -> tuple:
             dropout_rng = jax.random.fold_in(rng, state.step)
+            if sparse:
+                optax_state, accums = state.opt_state
+                dummies = make_dummies(batch)
+                (grads, dgrads), metrics = jax.grad(
+                    loss_fn, argnums=(0, 1), has_aux=True
+                )(state.params, dummies, batch, dropout_rng)
+                updates, optax_state = self.optimizer.update(
+                    grads, optax_state, state.params
+                )
+                params = optax.apply_updates(state.params, updates)
+                params, accums = apply_sparse_updates(params, accums, dgrads, batch)
+                metrics["grad_norm"] = optax.global_norm(grads)
+                return (
+                    TrainState(params, (optax_state, accums), state.step + 1),
+                    metrics,
+                )
             grads, metrics = jax.grad(loss_fn, has_aux=True)(
-                state.params, batch, dropout_rng
+                state.params, None, batch, dropout_rng
             )
             updates, opt_state = self.optimizer.update(
                 grads, state.opt_state, state.params
@@ -206,6 +290,15 @@ class RetrievalTrainer:
                 rng, batch["history"], batch["history_valid"]
             )
             opt_state = self.optimizer.init(params)
+        if self.cfg.use_sparse_embedding_updates:
+            from recommend_tpu.ops.embedding import SPARSE_TABLES
+
+            emb = params["params"]["embed"]
+            accums = {
+                name: jnp.full_like(emb[name]["embedding"], 0.1, dtype=jnp.float32)
+                for name in SPARSE_TABLES
+            }
+            opt_state = (opt_state, accums)
         state = TrainState(params, opt_state, jnp.zeros((), jnp.int32))
         if self.ckpt is not None:
             restored = self.ckpt.restore(params, opt_state)
