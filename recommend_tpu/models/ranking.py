@@ -308,6 +308,22 @@ class RankingModel(nn.Module):
         return self._apply_heads(x[:, -1])
 
     # -- KV-cache serving decomposition -----------------------------------
+    def embed_sequence_items(self, sf: str, ids: jax.Array) -> jax.Array:
+        """Token vectors for items of one behavior sequence — the unit the
+        cross-request session cache appends (ids [..., n] → [..., n, d]).
+        Per-item and position-independent, so append-only caching is exact."""
+        return self.tokenizer.seq_proj(self.tokenizer.item_embed(ids))
+
+    def encode_s_tokens(
+        self, s_tokens: jax.Array, s_valid: jax.Array
+    ) -> List[Optional[Tuple[jax.Array, jax.Array, jax.Array]]]:
+        """`encode_s` over precomputed S token vectors (cross-request path:
+        the session cache supplies tokens, skipping re-embedding the whole
+        history every request — translation:144-151's append-only Δ-update
+        realized at the tokenizer level)."""
+        cfg = self.config
+        return self._encode_s_trunk(s_tokens, s_valid)
+
     def encode_s(
         self,
         sequences: Dict[str, jax.Array],
@@ -316,8 +332,13 @@ class RankingModel(nn.Module):
         """Phase 1 (once per request): run the S trunk, returning per-layer
         (k_s, v_s, s_key_valid) — the cross-candidate KV cache
         (translation:144-151)."""
-        cfg = self.config
         x, valid = self.tokenizer.s_tokens(sequences, seq_valid)
+        return self._encode_s_trunk(x, valid)
+
+    def _encode_s_trunk(
+        self, x: jax.Array, valid: jax.Array
+    ) -> List[Optional[Tuple[jax.Array, jax.Array, jax.Array]]]:
+        cfg = self.config
         total = x.shape[1] + cfg.num_ns_tokens
         keeps = pyramid_keep_lengths(cfg, total)
         cache: List[Optional[Tuple[jax.Array, jax.Array, jax.Array]]] = []

@@ -57,6 +57,18 @@ class RankingInferenceEngine:
                 p, cache, ns, method=RankingModel.score_with_cache
             )
         )
+        self._embed_items = jax.jit(
+            lambda p, ids: m.apply(
+                p, self.cfg.sequence_features[0], ids,
+                method=RankingModel.embed_sequence_items,
+            ),
+        )
+        self._encode_s_tokens = jax.jit(
+            lambda p, s, sv: m.apply(
+                p, s, sv, method=RankingModel.encode_s_tokens
+            )
+        )
+        self._sessions: Dict[Any, Dict] = {}
 
     # -- loading (reference :38-60) ---------------------------------------
     @classmethod
@@ -171,6 +183,83 @@ class RankingInferenceEngine:
         t0 = time.perf_counter()
         seqs, sv = self.preprocess_sequences(sequences)
         cache = self._encode_s(self.params, seqs, sv)
+        n = len(candidates)
+        b = _bucket(n)
+        cand = candidates + [candidates[-1]] * (b - n)
+        rows = [dict(user_context, **c) for c in cand]
+        ns = self._non_seq_arrays(rows)
+        logits = self._score_cached(self.params, cache, ns)
+        probs = {t: np.asarray(jax.nn.sigmoid(logits[t])) for t in self.cfg.tasks}
+        self._record(t0, ok=True)
+        return [{t: float(probs[t][i]) for t in self.cfg.tasks} for i in range(n)]
+
+    # -- cross-request session cache (translation:144-151 Δ-update) ---------
+    def update_session(self, session_id, new_items: Dict[str, Sequence[int]]) -> None:
+        """Append new behavior items to a session; ONLY the new items are
+        embedded (append-only Δ-update — token vectors are per-item and
+        position-independent, so this is exact)."""
+        sess = self._sessions.setdefault(
+            session_id,
+            {sf: {"ids": [], "tokens": None} for sf in self.cfg.sequence_features},
+        )
+        for sf, ids in new_items.items():
+            ids = list(ids)
+            if not ids:
+                continue
+            b = _bucket(len(ids))
+            padded = np.asarray(ids + [0] * (b - len(ids)), dtype=np.int64)
+            toks = np.asarray(
+                self._embed_items(self.params, jnp.asarray(padded))
+            )[: len(ids)]
+            entry = sess[sf]
+            entry["ids"].extend(ids)
+            entry["tokens"] = (
+                toks if entry["tokens"] is None
+                else np.concatenate([entry["tokens"], toks], axis=0)
+            )
+            # sliding window: keep the most recent max_seq_len
+            if len(entry["ids"]) > self.max_seq_len:
+                entry["ids"] = entry["ids"][-self.max_seq_len :]
+                entry["tokens"] = entry["tokens"][-self.max_seq_len :]
+
+    def _session_s_tokens(self, session_id):
+        """Assemble [S1; SEP; S2; ...; Sn] token tensor + validity from the
+        cached per-item vectors (left-padded per sequence)."""
+        sess = self._sessions.get(session_id)
+        d = self.cfg.embed_dim
+        l = self.max_seq_len
+        sep = np.asarray(
+            self.params["params"]["tokenizer"]["sep_token"], dtype=np.float32
+        )
+        toks, valid = [], []
+        names = list(self.cfg.sequence_features)
+        for i, sf in enumerate(names):
+            t = np.zeros((l, d), dtype=np.float32)
+            v = np.zeros(l, dtype=bool)
+            if sess is not None and sess[sf]["tokens"] is not None:
+                cached = sess[sf]["tokens"][-l:]
+                t[l - len(cached):] = cached
+                v[l - len(cached):] = True
+            toks.append(t)
+            valid.append(v)
+            if i < len(names) - 1:
+                toks.append(sep[None, :])
+                valid.append(np.ones(1, dtype=bool))
+        s = np.concatenate(toks, axis=0)[None]  # [1, Ls, d]
+        sv = np.concatenate(valid)[None]  # [1, Ls]
+        return jnp.asarray(s), jnp.asarray(sv)
+
+    def score_session(
+        self,
+        session_id,
+        user_context: Dict[str, int],
+        candidates: List[Dict[str, int]],
+    ) -> List[Dict[str, float]]:
+        """KV-cached scoring over the session store: S tokens come from the
+        append-only cache; per-layer S K/V encoded once; NS per candidate."""
+        t0 = time.perf_counter()
+        s, sv = self._session_s_tokens(session_id)
+        cache = self._encode_s_tokens(self.params, s, sv)
         n = len(candidates)
         b = _bucket(n)
         cand = candidates + [candidates[-1]] * (b - n)

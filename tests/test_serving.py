@@ -143,3 +143,30 @@ def test_checkpoint_round_trip(tmp_path):
     out = engine.single_inference(dict(user_ctx, **item), seqs)
     for t in cfg.tasks:
         assert 0.0 <= out[t] <= 1.0
+
+
+def test_session_cache_matches_direct_scoring(ranking_engine):
+    """Cross-request session cache (append-only Δ-updates): scoring via the
+    session store must match score_request on the same interaction history."""
+    user_ctx, _, _ = _features()
+    candidates = [_features(s)[1] for s in range(3)]
+    seqs = {"click_seq": [1, 2, 3, 4], "cart_seq": [5], "purchase_seq": []}
+    direct = ranking_engine.score_request(user_ctx, seqs, candidates)
+
+    # build the same history through incremental appends
+    ranking_engine.update_session("sess1", {"click_seq": [1, 2]})
+    ranking_engine.update_session("sess1", {"click_seq": [3, 4], "cart_seq": [5]})
+    via_cache = ranking_engine.score_session("sess1", user_ctx, candidates)
+    for a, b in zip(direct, via_cache):
+        for t in ranking_engine.cfg.tasks:
+            assert abs(a[t] - b[t]) < 1e-4, (t, a[t], b[t])
+
+
+def test_session_sliding_window(ranking_engine):
+    """Sessions truncate to the most recent max_seq_len items."""
+    L = ranking_engine.max_seq_len
+    ranking_engine.update_session("sess2", {"click_seq": list(range(1, 2 * L))})
+    entry = ranking_engine._sessions["sess2"]["click_seq"]
+    assert len(entry["ids"]) == L
+    assert entry["ids"] == list(range(L, 2 * L))
+    assert entry["tokens"].shape[0] == L
