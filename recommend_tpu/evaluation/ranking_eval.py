@@ -149,3 +149,43 @@ class RankingEvaluator:
         os.makedirs(os.path.dirname(os.path.abspath(path)), exist_ok=True)
         with open(path, "w") as f:
             json.dump({"timestamp": time.time(), **report}, f, indent=2, default=float)
+
+    def save_charts(self, report: Dict, out_dir: str) -> List[str]:
+        """PNG chart dump (oneTrans evaluate.py:319-361 parity): per-task
+        metric bars + feature-importance bars when present. Silently no-ops
+        if matplotlib is unavailable."""
+        try:
+            import matplotlib
+
+            matplotlib.use("Agg")
+            import matplotlib.pyplot as plt
+        except ImportError:
+            return []
+        os.makedirs(out_dir, exist_ok=True)
+        written = []
+        for t in self.cfg.tasks:
+            keys = [k for k in report if k.startswith(f"{t}_")]
+            if not keys:
+                continue
+            fig, ax = plt.subplots(figsize=(7, 3.5))
+            names = [k[len(t) + 1 :] for k in keys]
+            ax.bar(names, [float(report[k]) for k in keys])
+            ax.set_title(f"{t} metrics")
+            ax.tick_params(axis="x", rotation=30)
+            p = os.path.join(out_dir, f"{t}_metrics.png")
+            fig.tight_layout()
+            fig.savefig(p)
+            plt.close(fig)
+            written.append(p)
+        fi = report.get("feature_importance")
+        if isinstance(fi, dict) and fi:
+            fig, ax = plt.subplots(figsize=(7, 3.5))
+            ax.bar(list(fi), [float(v) for v in fi.values()])
+            ax.set_title("permutation feature importance (AUC drop)")
+            ax.tick_params(axis="x", rotation=30)
+            p = os.path.join(out_dir, "feature_importance.png")
+            fig.tight_layout()
+            fig.savefig(p)
+            plt.close(fig)
+            written.append(p)
+        return written
