@@ -77,6 +77,62 @@ class RetrievalEvaluator:
         out["map"] = out["mrr"]  # single relevant item per query ⇒ MAP == MRR
         return out
 
+    def evaluate_classification(
+        self,
+        data: SyntheticRetrievalData,
+        batches: Iterable[Dict],
+        num_negatives: int = 100,
+        seed: int = 0,
+    ) -> Dict[str, float]:
+        """Classification AUC / average precision: positive item vs
+        popularity-sampled negatives (kuaiformer evaluate.py:161-205).
+        Scores pass through a sigmoid (monotone ⇒ identical AUC) into the
+        streaming histogram accumulator."""
+        from recommend_tpu.training.metrics import streaming_auc
+
+        rng = np.random.default_rng(seed)
+        probs = data.sampling_probs()
+        corpus = data.corpus_features()
+        init, update, compute = streaming_auc()
+        auc_state = init()
+        ap_num, ap_den = 0.0, 0
+        for batch in batches:
+            feats = {k: jnp.asarray(v) for k, v in batch["history"].items()}
+            valid = jnp.asarray(batch["history_valid"])
+            interests = self._fwd(self.params, feats, valid)  # [B,k,D]
+            b = valid.shape[0]
+            pos_emb = self.model.apply(
+                self.params, {k: jnp.asarray(v) for k, v in batch["target"].items()},
+                method=type(self.model).item_embeddings,
+            )  # [B, D]
+            neg_ids = rng.choice(len(probs), size=(b, num_negatives), p=probs)
+            neg_feats = {
+                k: jnp.asarray(corpus[k][neg_ids]) for k in corpus
+            }
+            neg_emb = self.model.apply(
+                self.params, neg_feats, method=type(self.model).item_embeddings
+            )  # [B, N, D]
+            s_pos = jnp.max(
+                jnp.einsum("bkd,bd->bk", interests.astype(jnp.float32),
+                           pos_emb.astype(jnp.float32)), axis=1)  # [B]
+            s_neg = jnp.max(
+                jnp.einsum("bkd,bnd->bkn", interests.astype(jnp.float32),
+                           neg_emb.astype(jnp.float32)), axis=1)  # [B, N]
+            scores = jnp.concatenate([s_pos[:, None], s_neg], axis=1)
+            labels = jnp.concatenate(
+                [jnp.ones((b, 1)), jnp.zeros((b, num_negatives))], axis=1
+            )
+            p = jax.nn.sigmoid(scores / jnp.maximum(jnp.std(scores), 1e-6))
+            auc_state = update(auc_state, p.reshape(-1), labels.reshape(-1))
+            # average precision for single positive = 1 / rank
+            rank = jnp.sum(s_neg > s_pos[:, None], axis=1) + 1
+            ap_num += float(jnp.sum(1.0 / rank))
+            ap_den += b
+        return {
+            "auc": float(compute(auc_state)),
+            "average_precision": ap_num / max(ap_den, 1),
+        }
+
     def benchmark_latency(
         self,
         batch: Dict,

@@ -108,3 +108,12 @@ def test_mfu_accounting():
     assert f > 0
     u = mfu(5000.0, f, "v5e", 1)
     assert 0 <= u < 100
+
+
+def test_retrieval_classification_auc(retrieval_eval_setup):
+    cfg, model, params, data = retrieval_eval_setup
+    ev = RetrievalEvaluator(cfg, model, params)
+    batches = itertools.islice(retrieval_batches(data, cfg, batch_size=8, seed=2), 2)
+    m = ev.evaluate_classification(data, batches, num_negatives=50)
+    assert 0.0 <= m["auc"] <= 1.0
+    assert 0.0 <= m["average_precision"] <= 1.0
