@@ -103,3 +103,35 @@ def test_ranking_dp_matches_single_device(devices):
     d0 = t2.init_state(jax.random.key(0), batch)
     _, m2 = t2._train_step(d0, t2._put_batch(batch), jax.random.key(0))
     np.testing.assert_allclose(float(m1["loss"]), float(m2["loss"]), rtol=1e-5)
+
+
+def test_sharded_embedding_lookup_matches_dense(devices):
+    from recommend_tpu.parallel.embedding_sharding import shard_table, sharded_lookup
+
+    mesh = make_mesh(data=2, model=4)
+    rng = np.random.default_rng(0)
+    table = rng.normal(size=(64, 16)).astype(np.float32)
+    ids = rng.integers(0, 64, (5, 7))
+    ts = shard_table(mesh, jnp.asarray(table), "model")
+    out = sharded_lookup(mesh, ts, jnp.asarray(ids), "model")
+    np.testing.assert_allclose(np.asarray(out), table[ids], rtol=1e-6)
+
+
+def test_sharded_embedding_lookup_gradient(devices):
+    """Gradient must be the scatter-add of cotangents into the right rows."""
+    from recommend_tpu.parallel.embedding_sharding import shard_table, sharded_lookup
+
+    mesh = make_mesh(data=1, model=8)
+    rng = np.random.default_rng(1)
+    table = rng.normal(size=(32, 8)).astype(np.float32)
+    ids = jnp.asarray([3, 3, 17, 30])
+    ts = shard_table(mesh, jnp.asarray(table), "model")
+
+    def loss(t):
+        return jnp.sum(sharded_lookup(mesh, t, ids, "model") * 2.0)
+
+    g = np.asarray(jax.grad(loss)(ts))
+    expected = np.zeros_like(table)
+    for i in np.asarray(ids):
+        expected[i] += 2.0
+    np.testing.assert_allclose(g, expected, rtol=1e-6)
