@@ -17,12 +17,37 @@ from typing import Dict, Optional
 
 
 class MetricLogger:
-    def __init__(self, log_dir: Optional[str] = None, quiet: bool = False):
+    def __init__(
+        self,
+        log_dir: Optional[str] = None,
+        quiet: bool = False,
+        tensorboard: bool = True,
+    ):
         self.log_dir = log_dir
         self.quiet = quiet
         self._files = {}
+        self._tb_writers = {}
+        self._tb = tensorboard
         if log_dir:
             os.makedirs(log_dir, exist_ok=True)
+
+    def _tb_writer(self, stream: str):
+        """TensorBoard scalar writer per stream (reference train/val subdir
+        layout, kuaiformer train.py:26-47). Optional: silently disabled if no
+        writer backend is importable."""
+        if not self._tb or self.log_dir is None:
+            return None
+        if stream not in self._tb_writers:
+            try:
+                from torch.utils.tensorboard import SummaryWriter
+
+                self._tb_writers[stream] = SummaryWriter(
+                    os.path.join(self.log_dir, stream)
+                )
+            except Exception:
+                self._tb = False
+                return None
+        return self._tb_writers[stream]
 
     def _file(self, stream: str):
         if self.log_dir is None:
@@ -39,6 +64,11 @@ class MetricLogger:
         if f is not None:
             f.write(json.dumps(rec) + "\n")
             f.flush()
+        tb = self._tb_writer(stream)
+        if tb is not None:
+            for k, v in metrics.items():
+                if isinstance(v, (int, float)):
+                    tb.add_scalar(k, v, step)
         if not self.quiet:
             shown = ", ".join(
                 f"{k}={v:.4g}" for k, v in metrics.items() if isinstance(v, float)
@@ -48,3 +78,5 @@ class MetricLogger:
     def close(self):
         for f in self._files.values():
             f.close()
+        for w in self._tb_writers.values():
+            w.close()
