@@ -96,6 +96,11 @@ class RetrievalTower(nn.Module):
             (cfg.num_query_tokens, cfg.embed_dim),
             pdt,
         )
+        # learnable [MASK] item embedding for the masked-item training mode
+        self.mask_token = self.param(
+            "mask_token", nn.initializers.normal(stddev=0.02),
+            (cfg.embed_dim,), pdt,
+        )
         block = TransformerBlock
         if cfg.use_remat:
             # (self, x, bias, deterministic) — deterministic must be static
@@ -163,6 +168,42 @@ class RetrievalTower(nn.Module):
             x = blk(x, bias, deterministic)
         out = self.final_norm(x[:, t:])
         return out.reshape(b, t, k, d)
+
+    def masked_position_outputs(
+        self,
+        features: Dict[str, jax.Array],
+        valid: jax.Array,
+        mask_positions: jax.Array,  # [B, M] raw indices into the tail segment
+        deterministic: bool = True,
+        dummies: Optional[Dict[str, jax.Array]] = None,
+    ) -> jax.Array:
+        """BERT4Rec-style masked-item mode (BASELINE.json recall config):
+        replace the item tokens at `mask_positions` (absolute raw positions,
+        expected within the uncompressed tail segment) with a learnable [MASK]
+        embedding, run the bidirectional stack, and return the transformer
+        outputs at the corresponding token positions → [B, M, D]. Scoring
+        those against item embeddings gives the masked-item logits."""
+        cfg = self.config
+        x = self.embedder(features, dummies)  # [B, L, D]
+        b, l, d = x.shape
+        mask_tok = self.mask_token.astype(x.dtype)
+        onehot = jax.nn.one_hot(mask_positions, l, dtype=x.dtype)  # [B, M, L]
+        is_masked = jnp.clip(jnp.sum(onehot, axis=1), 0, 1)[..., None]  # [B, L, 1]
+        x = x * (1 - is_masked) + mask_tok[None, None] * is_masked
+        tokens, token_valid = self.compressor(x, valid)
+        t = tokens.shape[1]
+        k = cfg.num_query_tokens
+        q = jnp.broadcast_to(self.query_tokens.astype(tokens.dtype)[None], (b, k, d))
+        h = jnp.concatenate([tokens, q], axis=1)
+        bias = _single_prediction_bias(token_valid, k, causal=False)
+        for blk in self.blocks:
+            h = blk(h, bias, deterministic)
+        h = self.final_norm(h[:, :t])  # all token outputs
+        # raw position p (within the tail segment) ↔ token index t - (L - p)
+        token_idx = t - (l - mask_positions)  # [B, M]
+        return jnp.take_along_axis(
+            h, token_idx[..., None].astype(jnp.int32), axis=1
+        )
 
     def item_embeddings(
         self,

@@ -61,8 +61,11 @@ class RetrievalTrainer:
         bidirectional/causal single mode); 'seq2seq' — causal all-positions
         self-supervised training: every raw tail position predicts its next
         item in one interleaved pass (replacing the reference's O(L²) gather
-        construction, model.py:302-500)."""
-        assert mode in ("single", "seq2seq")
+        construction, model.py:302-500); 'masked' — BERT4Rec-style masked-item
+        objective (BASELINE.json recall config): random tail items replaced by
+        a learnable [MASK], predicted bidirectionally against in-batch
+        negatives."""
+        assert mode in ("single", "seq2seq", "masked")
         self.cfg = cfg
         self.mesh = mesh
         self.mode = mode
@@ -87,17 +90,14 @@ class RetrievalTrainer:
                 k: jnp.zeros(batch["history"][k].shape + (d,), jnp.float32)
                 for k in SPARSE_TABLES
             }
+            b = batch["target"]["video_id"].shape[0]
             if self.mode == "seq2seq":
-                b = batch["target"]["video_id"].shape[0]
-                tgt = {
-                    k: jnp.zeros((b, tail_r, d), jnp.float32)
-                    for k in SPARSE_TABLES
-                }
+                tgt_shape = (b, tail_r, d)
+            elif self.mode == "masked":
+                tgt_shape = (b, num_mask, d)
             else:
-                tgt = {
-                    k: jnp.zeros(batch["target"][k].shape + (d,), jnp.float32)
-                    for k in SPARSE_TABLES
-                }
+                tgt_shape = (b, d)
+            tgt = {k: jnp.zeros(tgt_shape, jnp.float32) for k in SPARSE_TABLES}
             return {"hist": hist, "tgt": tgt}
 
         def _seq2seq_next_feats(batch):
@@ -176,17 +176,73 @@ class RetrievalTrainer:
                 label_smoothing=cfg.label_smoothing,
             )
 
+        num_mask = max(1, min(8, tail_r - 1))
+
+        def _mask_positions(dropout_rng, b):
+            """[B, M] absolute raw positions within the uncompressed tail.
+            Derived deterministically from the step rng so the sparse-update
+            path can reproduce them."""
+            r, l = tail_r, cfg.max_seq_len
+            u = jax.random.randint(
+                jax.random.fold_in(dropout_rng, 7), (b, num_mask), 0, r
+            )
+            return l - r + u
+
+        def masked_loss(params, dummies, batch, dropout_rng):
+            from recommend_tpu.models.losses import seq2seq_in_batch_loss
+
+            b = batch["history_valid"].shape[0]
+            pos = _mask_positions(dropout_rng, b)
+            outputs = self.model.apply(
+                params,
+                batch["history"],
+                batch["history_valid"],
+                pos,
+                deterministic=False,
+                dummies=None if dummies is None else dummies["hist"],
+                rngs={"dropout": dropout_rng},
+                method=RetrievalTower.masked_position_outputs,
+            )  # [B, M, D]
+            tgt_feats = {
+                k: jnp.take_along_axis(batch["history"][k], pos, axis=1)
+                for k in batch["history"]
+            }
+            tgt_emb = self.model.apply(
+                params, tgt_feats,
+                None if dummies is None else dummies["tgt"],
+                method=RetrievalTower.item_embeddings,
+            )  # [B, M, D]
+            pos_valid = jnp.take_along_axis(batch["history_valid"], pos, axis=1)
+            pop = None
+            if cfg.use_logq_correction:
+                pop = jnp.take_along_axis(batch["history_popularity"], pos, axis=1)
+            return seq2seq_in_batch_loss(
+                outputs[:, :, None, :], tgt_emb, pop, pos_valid,
+                label_smoothing=cfg.label_smoothing,
+            )
+
         if mode == "seq2seq":
             assert tail_r > 1, "seq2seq mode needs a raw (group_size=1) tail segment"
             loss_fn = seq2seq_loss
+        elif mode == "masked":
+            assert tail_r > 1, "masked mode needs a raw (group_size=1) tail segment"
+            loss_fn = masked_loss
         else:
             loss_fn = single_loss
 
-        def apply_sparse_updates(params, accums, dummy_grads, batch):
+        def apply_sparse_updates(params, accums, dummy_grads, batch, dropout_rng):
             from recommend_tpu.ops.sparse_embed import sparse_update_table
 
             if self.mode == "seq2seq":
                 tgt_feats = _seq2seq_next_feats(batch)
+            elif self.mode == "masked":
+                pos = _mask_positions(
+                    dropout_rng, batch["history_valid"].shape[0]
+                )
+                tgt_feats = {
+                    k: jnp.take_along_axis(batch["history"][k], pos, axis=1)
+                    for k in batch["history"]
+                }
             else:
                 tgt_feats = batch["target"]
             emb = dict(params["params"]["embed"])
@@ -229,7 +285,7 @@ class RetrievalTrainer:
                     grads, optax_state, state.params
                 )
                 params = optax.apply_updates(state.params, updates)
-                params, accums = apply_sparse_updates(params, accums, dgrads, batch)
+                params, accums = apply_sparse_updates(params, accums, dgrads, batch, dropout_rng)
                 metrics["grad_norm"] = optax.global_norm(grads)
                 return (
                     TrainState(params, (optax_state, accums), state.step + 1),

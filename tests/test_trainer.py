@@ -102,3 +102,47 @@ def test_seq2seq_loss_matches_hand_computation():
         for j in range(r)
     ]
     np.testing.assert_allclose(float(total), np.mean(per_pos), rtol=1e-5)
+
+
+def test_masked_item_training_mode(tiny_cfg):
+    """BERT4Rec-style masked-item objective trains and reduces loss."""
+    data = make_retrieval_data(tiny_cfg, num_users=50, num_videos=200, seed=5)
+    it = retrieval_batches(data, tiny_cfg, batch_size=16, seed=0)
+    trainer = RetrievalTrainer(tiny_cfg, total_steps=40, mode="masked")
+    trainer.train(it, num_steps=40, log_every=10)
+    losses = [h["loss"] for h in trainer.history["train"]]
+    assert losses[-1] < losses[0], losses
+
+
+def test_masked_outputs_see_context_not_target():
+    """The output at a masked position must depend on the surrounding context
+    but NOT on the masked item itself (it was replaced by [MASK])."""
+    import jax
+    import jax.numpy as jnp
+    from recommend_tpu.config import get_config
+    from recommend_tpu.models.retrieval import RetrievalTower
+
+    cfg = get_config(
+        "retrieval_small", embed_dim=32, num_layers=1, num_heads=2, ffn_dim=64,
+        max_seq_len=16, compression_schedule=((8, 4), (8, 1)),
+        video_vocab_size=500, dropout_rate=0.0, compute_dtype="float32",
+    )
+    data = make_retrieval_data(cfg, num_users=10, num_videos=100, seed=0)
+    batch = next(iter(retrieval_batches(data, cfg, batch_size=2, num_epochs=1)))
+    model = RetrievalTower(cfg)
+    feats = {k: jnp.asarray(v) for k, v in batch["history"].items()}
+    valid = jnp.asarray(batch["history_valid"])
+    params = model.init(jax.random.key(0), feats, valid)
+    pos = jnp.asarray([[14], [14]])  # a raw tail position
+    out1 = model.apply(params, feats, valid, pos,
+                       method=RetrievalTower.masked_position_outputs)
+    # change the masked item's id → output unchanged (it was masked out)
+    feats2 = dict(feats, video_id=feats["video_id"].at[:, 14].set(99))
+    out2 = model.apply(params, feats2, valid, pos,
+                       method=RetrievalTower.masked_position_outputs)
+    np.testing.assert_allclose(np.asarray(out1), np.asarray(out2), atol=1e-5)
+    # change a context item → output changes
+    feats3 = dict(feats, video_id=feats["video_id"].at[:, 13].set(99))
+    out3 = model.apply(params, feats3, valid, pos,
+                       method=RetrievalTower.masked_position_outputs)
+    assert float(jnp.max(jnp.abs(out1 - out3))) > 1e-6
