@@ -359,8 +359,17 @@ def flash_attention_bhld(
     bias = jnp.where(kv_valid, 0.0, NEG_INF).astype(jnp.float32)
     bias = jnp.broadcast_to(bias[:, None, :], (b, h, lkv)).reshape(b * h, lkv)
     to_bh = lambda x: jnp.swapaxes(x, 1, 2).reshape(b * h, x.shape[1], dh)
-    bq = min(block_q, _round_up(lq, 16))
-    bk = min(block_k, _round_up(lkv, 16))
+
+    def _pow2_block(n: int, cap: int) -> int:
+        # power-of-two block sizes compile dramatically faster in mosaic than
+        # odd multiples of 16 (e.g. 192/368 from rounding pyramid lengths)
+        p = 16
+        while p < n and p < cap:
+            p *= 2
+        return min(p, cap)
+
+    bq = _pow2_block(lq, block_q)
+    bk = _pow2_block(lkv, block_k)
     out = flash_band_attention(
         to_bh(q), to_bh(k), to_bh(v), bias, sm_scale, q_offset, causal, bq, bk
     )
