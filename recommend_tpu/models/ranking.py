@@ -373,3 +373,27 @@ class RankingModel(nn.Module):
 
     def param_count(self, params) -> int:
         return sum(int(p.size) for p in jax.tree_util.tree_leaves(params))
+
+    def get_model_info(self, params, s_len: int = 350) -> Dict[str, object]:
+        """Model card (oneTrans get_model_info, model.py:399-408): parameter
+        counts split dense vs embedding, plus analytic per-sample FLOPs."""
+        from recommend_tpu.evaluation.benchmark import ranking_model_flops
+
+        emb = 0
+        for path, leaf in jax.tree_util.tree_leaves_with_path(params):
+            keys = [getattr(p, "key", "") for p in path]
+            if keys and keys[-1] == "embedding":
+                emb += int(leaf.size)
+        total = self.param_count(params)
+        return {
+            "total_params": total,
+            "embedding_params": emb,
+            "dense_params": total - emb,
+            "num_layers": self.config.num_layers,
+            "embed_dim": self.config.embed_dim,
+            "num_ns_tokens": self.config.num_ns_tokens,
+            "pyramid_ratios": list(self.config.pyramid_ratios),
+            "forward_gflops_per_sample": round(
+                ranking_model_flops(self.config, s_len) / 1e9, 3
+            ),
+        }

@@ -142,3 +142,11 @@ def test_gradients_flow(setup):
     # dedicated NS stacks must receive gradient
     ns_g = g["params"]["block_0"]["q_ns"]
     assert float(jnp.abs(ns_g).sum()) > 0.0
+
+
+def test_get_model_info(setup):
+    cfg, model, params, args, _ = setup
+    info = model.apply(params, params, method=RankingModel.get_model_info)
+    assert info["total_params"] == info["embedding_params"] + info["dense_params"]
+    assert info["embedding_params"] > 0
+    assert info["forward_gflops_per_sample"] > 0
