@@ -14,6 +14,11 @@ import jax
 jax.config.update("jax_platforms", "cpu")
 jax.config.update("jax_num_cpu_devices", 8)
 
+# numerics tripwire (SURVEY.md §5.2): RECOMMEND_TPU_DEBUG_NANS=1 makes every
+# test fail loudly at the first NaN-producing primitive
+if os.environ.get("RECOMMEND_TPU_DEBUG_NANS"):
+    jax.config.update("jax_debug_nans", True)
+
 import pytest  # noqa: E402
 
 
