@@ -30,11 +30,19 @@ import numpy as np
 from recommend_tpu.config import RetrievalConfig
 from recommend_tpu.data.pipeline import FEATURE_KEYS
 from recommend_tpu.models.retrieval import RetrievalTower
+from recommend_tpu.ops.ivf import build_ivf, ivf_search_interests
 from recommend_tpu.ops.topk import sharded_topk_retrieval, topk_retrieval
 
 
 class RetrievalIndex:
-    """Corpus item-embedding matrix + top-k search (the FAISS replacement)."""
+    """Corpus item-embedding matrix + top-k search (the FAISS replacement).
+
+    ``index_type="flat"`` (default) is exact brute-force scoring — the
+    production GPU strategy (translation:214), ideal for batched queries.
+    ``index_type="ivf"`` mirrors the reference's FAISS ``"IVF1024,Flat"``
+    (kuaiformer config.py:55): k-means buckets probed per query — lower
+    latency for single-query serving on very large corpora, approximate.
+    """
 
     def __init__(
         self,
@@ -43,13 +51,23 @@ class RetrievalIndex:
         params,
         mesh=None,
         embed_batch: int = 8192,
+        index_type: str = "flat",
+        ivf_clusters: int = 1024,
+        ivf_nprobe: int = 32,
+        ivf_iters: int = 10,
     ):
+        assert index_type in ("flat", "ivf"), index_type
         self.cfg = cfg
         self.model = model
         self.params = params
         self.mesh = mesh
         self.embed_batch = embed_batch
+        self.index_type = index_type
+        self.ivf_clusters = ivf_clusters
+        self.ivf_nprobe = ivf_nprobe
+        self.ivf_iters = ivf_iters
         self.item_embeddings: Optional[jax.Array] = None
+        self.ivf_index = None
         self._embed_fn = jax.jit(
             lambda p, f: model.apply(p, f, method=RetrievalTower.item_embeddings)
         )
@@ -66,6 +84,12 @@ class RetrievalIndex:
             }
             outs.append(self._embed_fn(self.params, chunk))
         self.item_embeddings = jnp.concatenate(outs, axis=0)
+        if self.index_type == "ivf":
+            self.ivf_index = build_ivf(
+                self.item_embeddings,
+                n_clusters=self.ivf_clusters,
+                iters=self.ivf_iters,
+            )
 
     def search(
         self, interests: jax.Array, top_k: Optional[int] = None
@@ -74,6 +98,10 @@ class RetrievalIndex:
         assert self.item_embeddings is not None, "call build() first"
         k = top_k or self.cfg.top_k
         k = min(k, self.item_embeddings.shape[0])
+        if self.ivf_index is not None:
+            return ivf_search_interests(
+                self.ivf_index, interests, k, nprobe=self.ivf_nprobe
+            )
         if self.mesh is not None and self.item_embeddings.shape[0] % self.mesh.shape["data"] == 0:
             s, i = sharded_topk_retrieval(
                 self.mesh, interests, self.item_embeddings, k

@@ -170,3 +170,31 @@ def test_session_sliding_window(ranking_engine):
     assert len(entry["ids"]) == L
     assert entry["ids"] == list(range(L, 2 * L))
     assert entry["tokens"].shape[0] == L
+
+
+def test_retrieval_index_ivf(retrieval_setup):
+    """index_type='ivf' (FAISS IVF1024,Flat parity) matches exact search at
+    full probe and returns deduped descending results at partial probe."""
+    cfg, model, params, data = retrieval_setup
+    flat = RetrievalIndex(cfg, model, params, embed_batch=64)
+    flat.build(data.corpus_features())
+    ivf = RetrievalIndex(
+        cfg, model, params, embed_batch=64,
+        index_type="ivf", ivf_clusters=8, ivf_nprobe=8, ivf_iters=4,
+    )
+    ivf.build(data.corpus_features())
+    interests = jnp.asarray(
+        np.random.default_rng(1).normal(size=(2, 4, 32)).astype(np.float32)
+    )
+    s_ref, i_ref = flat.search(interests, top_k=10)
+    s_ivf, i_ivf = ivf.search(interests, top_k=10)
+    np.testing.assert_allclose(
+        np.sort(s_ivf, axis=1), np.sort(s_ref, axis=1), rtol=1e-4
+    )
+    # partial probe still returns valid, sorted, deduped ids
+    ivf.ivf_nprobe = 2
+    s2, i2 = ivf.search(interests, top_k=10)
+    for row in range(2):
+        ids = i2[row][i2[row] >= 0]
+        assert len(np.unique(ids)) == len(ids)
+        assert (np.diff(s2[row]) <= 1e-6).all()
