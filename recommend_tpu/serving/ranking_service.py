@@ -68,6 +68,21 @@ class RankingInferenceEngine:
                 p, s, sv, method=RankingModel.encode_s_tokens
             )
         )
+        # single-fetch probability paths: sigmoid on device, tasks stacked
+        # into ONE [T, B] array so a request costs one host↔device fetch
+        # instead of one per task (each fetch pays a full transport RTT)
+        tasks = tuple(self.cfg.tasks)
+        stack = lambda logits: jnp.stack(
+            [jax.nn.sigmoid(logits[t]) for t in tasks]
+        )
+        self._probs_fwd = jax.jit(
+            lambda p, ns, seqs, sv: stack(m.apply(p, ns, seqs, sv))
+        )
+        self._probs_cached = jax.jit(
+            lambda p, cache, ns: stack(
+                m.apply(p, cache, ns, method=RankingModel.score_with_cache)
+            )
+        )
         self._sessions: Dict[Any, Dict] = {}
 
     # -- loading (reference :38-60) ---------------------------------------
@@ -138,8 +153,8 @@ class RankingInferenceEngine:
         try:
             seqs, sv = self.preprocess_sequences(sequences)
             ns = self._non_seq_arrays([features])
-            logits = self._fwd(self.params, ns, seqs, sv)
-            out = {t: float(jax.nn.sigmoid(logits[t][0])) for t in self.cfg.tasks}
+            probs = np.asarray(self._probs_fwd(self.params, ns, seqs, sv))
+            out = {t: float(probs[i][0]) for i, t in enumerate(self.cfg.tasks)}
             self._record(t0, ok=True)
             return out
         except Exception:
@@ -165,10 +180,10 @@ class RankingInferenceEngine:
             sf: jnp.concatenate([p[1][sf] for p in seq_parts], axis=0)
             for sf in self.cfg.sequence_features
         }
-        logits = self._fwd(self.params, ns, seqs, sv)
-        probs = {t: np.asarray(jax.nn.sigmoid(logits[t])) for t in self.cfg.tasks}
+        probs = np.asarray(self._probs_fwd(self.params, ns, seqs, sv))
         self._record(t0, ok=True)
-        return [{t: float(probs[t][i]) for t in self.cfg.tasks} for i in range(n)]
+        return [{t: float(probs[j][i]) for j, t in enumerate(self.cfg.tasks)}
+                for i in range(n)]
 
     def score_request(
         self,
@@ -188,10 +203,10 @@ class RankingInferenceEngine:
         cand = candidates + [candidates[-1]] * (b - n)
         rows = [dict(user_context, **c) for c in cand]
         ns = self._non_seq_arrays(rows)
-        logits = self._score_cached(self.params, cache, ns)
-        probs = {t: np.asarray(jax.nn.sigmoid(logits[t])) for t in self.cfg.tasks}
+        probs = np.asarray(self._probs_cached(self.params, cache, ns))
         self._record(t0, ok=True)
-        return [{t: float(probs[t][i]) for t in self.cfg.tasks} for i in range(n)]
+        return [{t: float(probs[j][i]) for j, t in enumerate(self.cfg.tasks)}
+                for i in range(n)]
 
     # -- cross-request session cache (translation:144-151 Δ-update) ---------
     def update_session(self, session_id, new_items: Dict[str, Sequence[int]]) -> None:
@@ -265,10 +280,10 @@ class RankingInferenceEngine:
         cand = candidates + [candidates[-1]] * (b - n)
         rows = [dict(user_context, **c) for c in cand]
         ns = self._non_seq_arrays(rows)
-        logits = self._score_cached(self.params, cache, ns)
-        probs = {t: np.asarray(jax.nn.sigmoid(logits[t])) for t in self.cfg.tasks}
+        probs = np.asarray(self._probs_cached(self.params, cache, ns))
         self._record(t0, ok=True)
-        return [{t: float(probs[t][i]) for t in self.cfg.tasks} for i in range(n)]
+        return [{t: float(probs[j][i]) for j, t in enumerate(self.cfg.tasks)}
+                for i in range(n)]
 
     # -- stats (reference :186-219) ----------------------------------------
     def _record(self, t0: float, ok: bool) -> None:

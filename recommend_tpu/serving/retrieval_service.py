@@ -108,7 +108,9 @@ class RetrievalIndex:
             )
         else:
             s, i = topk_retrieval(interests, self.item_embeddings, k)
-        return np.asarray(s), np.asarray(i)
+        # one batched device→host fetch: each separate np.asarray pays a
+        # full transport round-trip
+        return jax.device_get((s, i))
 
 
 class RealTimeRecommender:
