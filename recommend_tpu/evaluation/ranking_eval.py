@@ -27,14 +27,29 @@ import numpy as np
 
 from recommend_tpu.config import RankingConfig
 from recommend_tpu.models.ranking import RankingModel
-from recommend_tpu.training.metrics import binary_classification_suite, streaming_auc
+from recommend_tpu.training.metrics import (
+    binary_classification_suite,
+    grouped_auc,
+    streaming_auc,
+)
 
 
 class RankingEvaluator:
-    def __init__(self, cfg: RankingConfig, model: RankingModel, params):
+    def __init__(
+        self,
+        cfg: RankingConfig,
+        model: RankingModel,
+        params,
+        user_feature: str = "user_id",
+    ):
         self.cfg = cfg
         self.model = model
         self.params = params
+        # non-seq feature used to group predictions for UAUC (paper Table 2,
+        # translation:199-207); set to None to skip UAUC
+        self.user_feature = (
+            user_feature if user_feature in cfg.non_seq_features else None
+        )
         self._fwd = jax.jit(
             lambda p, ns, seqs, sv: model.apply(p, ns, seqs, sv)
         )
@@ -52,8 +67,11 @@ class RankingEvaluator:
         auc_states = {t: init() for t in self.cfg.tasks}
         probs_all = {t: [] for t in self.cfg.tasks}
         labels_all = {t: [] for t in self.cfg.tasks}
+        users_all: List[np.ndarray] = []
         n, t_total = 0, 0.0
         for batch in batches:
+            if self.user_feature is not None:
+                users_all.append(np.asarray(batch["non_seq"][self.user_feature]))
             args = self._batch_args(batch)
             t0 = time.perf_counter()
             logits = self._fwd(self.params, *args)
@@ -78,6 +96,12 @@ class RankingEvaluator:
             suite = binary_classification_suite(p, y)
             out.update({f"{t}_{k}": float(v) for k, v in suite.items()})
             out[f"{t}_auc"] = float(compute(auc_states[t]))
+            if users_all:
+                out[f"{t}_uauc"] = grouped_auc(
+                    np.concatenate(probs_all[t]),
+                    np.concatenate(labels_all[t]),
+                    np.concatenate(users_all),
+                )
         return out
 
     def ab_test(

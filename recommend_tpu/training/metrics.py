@@ -102,6 +102,52 @@ def streaming_auc(num_thresholds: int = 512):
     return init, update, compute
 
 
+def grouped_auc(probs, labels, group_ids, weighted: bool = True) -> float:
+    """UAUC / GAUC: exact per-group ROC AUC averaged over groups.
+
+    The OneTrans paper reports UAUC alongside AUC for every model
+    (rank/scaling_up/oneTrans/translation/complete_translation.md:199-207,
+    Table 2) — per-user AUC, impression-weighted. Groups with no positive or
+    no negative are skipped (AUC undefined), matching standard GAUC practice.
+
+    Host-side numpy by design: groups are ragged and this runs once per eval
+    pass on already-fetched arrays (the reference computes AUC on host via
+    sklearn the same way, kuaiformer evaluate.py:161-205).
+    """
+    import numpy as np
+
+    probs = np.asarray(probs, dtype=np.float64).reshape(-1)
+    labels = np.asarray(labels, dtype=np.float64).reshape(-1)
+    group_ids = np.asarray(group_ids).reshape(-1)
+    total, weight_sum = 0.0, 0.0
+    for g in np.unique(group_ids):
+        m = group_ids == g
+        y, p = labels[m], probs[m]
+        n_pos = int(y.sum())
+        n_neg = int(len(y) - n_pos)
+        if n_pos == 0 or n_neg == 0:
+            continue
+        # Mann-Whitney U with midranks (exact, tie-correct)
+        order = np.argsort(p, kind="mergesort")
+        ranks = np.empty(len(p))
+        ranks[order] = np.arange(1, len(p) + 1)
+        # midranks for ties
+        sp = p[order]
+        i = 0
+        while i < len(sp):
+            j = i
+            while j + 1 < len(sp) and sp[j + 1] == sp[i]:
+                j += 1
+            if j > i:
+                ranks[order[i : j + 1]] = (i + 1 + j + 1) / 2.0
+            i = j + 1
+        auc = (ranks[y == 1].sum() - n_pos * (n_pos + 1) / 2.0) / (n_pos * n_neg)
+        w = float(len(y)) if weighted else 1.0
+        total += w * auc
+        weight_sum += w
+    return total / weight_sum if weight_sum else float("nan")
+
+
 def binary_classification_suite(
     probs: jax.Array, labels: jax.Array, threshold: float = 0.5
 ) -> Dict[str, jax.Array]:

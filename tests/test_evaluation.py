@@ -80,6 +80,8 @@ def test_ranking_offline_eval(ranking_eval_setup):
     for t in cfg.tasks:
         for suffix in ("auc", "accuracy", "precision", "recall", "f1", "logloss"):
             assert f"{t}_{suffix}" in m
+        if "user_id" in cfg.non_seq_features:
+            assert 0.0 <= m[f"{t}_uauc"] <= 1.0 or m[f"{t}_uauc"] != m[f"{t}_uauc"]
     assert m["num_samples"] == 64
     assert m["throughput_samples_per_s"] > 0
 

@@ -3,6 +3,7 @@ import numpy as np
 
 from recommend_tpu.training.metrics import (
     binary_classification_suite,
+    grouped_auc,
     hit_rate_at_k,
     mrr,
     ndcg_at_k,
@@ -49,6 +50,49 @@ def test_binary_suite():
     assert float(m["accuracy"]) == 0.5
     assert float(m["precision"]) == 0.5  # 1 TP of 2 predicted pos
     assert float(m["recall"]) == 0.5
+
+
+def test_grouped_auc_hand_case():
+    # user 0 (3 samples): probs [.9, .1, .5], labels [1, 0, 0] → AUC 1.0
+    # user 1 (4 samples): probs [.2, .8, .6, .4], labels [1, 0, 1, 0]
+    #   pos {.2, .6}, neg {.8, .4}: pairs (.2>.8? 0) (.2>.4? 0) (.6>.8? 0)
+    #   (.6>.4? 1) → AUC 1/4
+    probs = [0.9, 0.1, 0.5, 0.2, 0.8, 0.6, 0.4]
+    labels = [1, 0, 0, 1, 0, 1, 0]
+    users = [0, 0, 0, 1, 1, 1, 1]
+    weighted = grouped_auc(probs, labels, users, weighted=True)
+    np.testing.assert_allclose(weighted, (3 * 1.0 + 4 * 0.25) / 7, rtol=1e-12)
+    unweighted = grouped_auc(probs, labels, users, weighted=False)
+    np.testing.assert_allclose(unweighted, (1.0 + 0.25) / 2, rtol=1e-12)
+
+
+def test_grouped_auc_ties_and_degenerate_groups():
+    # user 0 all-positive (skipped), user 1 all-tied probs → AUC 0.5
+    probs = [0.7, 0.7, 0.5, 0.5, 0.5]
+    labels = [1, 1, 1, 0, 1]
+    users = [0, 0, 1, 1, 1]
+    np.testing.assert_allclose(grouped_auc(probs, labels, users), 0.5, rtol=1e-12)
+    # no valid group → NaN
+    assert np.isnan(grouped_auc([0.1, 0.9], [1, 1], [0, 0]))
+
+
+def test_grouped_auc_matches_sklearn_per_group():
+    from sklearn.metrics import roc_auc_score
+
+    rng = np.random.default_rng(1)
+    probs = rng.random(600)
+    labels = (rng.random(600) < probs).astype(float)
+    users = rng.integers(0, 20, size=600)
+    expect_num, expect_den = 0.0, 0.0
+    for u in np.unique(users):
+        m = users == u
+        if labels[m].min() == labels[m].max():
+            continue
+        expect_num += m.sum() * roc_auc_score(labels[m], probs[m])
+        expect_den += m.sum()
+    np.testing.assert_allclose(
+        grouped_auc(probs, labels, users), expect_num / expect_den, rtol=1e-10
+    )
 
 
 def test_suite_keys():
