@@ -236,17 +236,27 @@ class RankingTrainer:
         log_every: int = 100,
         early_stop_patience: Optional[int] = None,
         seed: int = 0,
+        profile_dir: Optional[str] = None,
+        profile_start: int = 10,
+        profile_num_steps: int = 5,
     ) -> TrainState:
+        """`profile_dir`: when set, a jax.profiler device trace of steps
+        [profile_start, profile_start+profile_num_steps) is written there
+        (TensorBoard Profile tab) — SURVEY.md §5.1."""
+        from recommend_tpu.utils.profiling import StepProfiler
+
         rng = jax.random.key(seed)
         first = next(train_iter)
         state = self.init_state(rng, first)
         start_step = int(state.step)
+        prof = StepProfiler(profile_dir, start_step + profile_start, profile_num_steps)
         best_val = -float("inf")
         bad_evals = 0
         t0 = time.time()
         batch = first
         for i in range(start_step, num_steps):
-            state, metrics = self._train_step(state, self._put_batch(batch), rng)
+            with prof.step(i):
+                state, metrics = self._train_step(state, self._put_batch(batch), rng)
             if (i + 1) % log_every == 0:
                 m = {k: float(v) for k, v in metrics.items()}
                 dt = time.time() - t0
@@ -276,6 +286,7 @@ class RankingTrainer:
                 t0 = time.time()
             if i + 1 < num_steps:
                 batch = next(train_iter)
+        prof.close()
         if self.ckpt is not None:
             self.ckpt.save(
                 int(state.step), state.params, state.opt_state,

@@ -379,15 +379,25 @@ class RetrievalTrainer:
         eval_every: int = 1000,
         log_every: int = 100,
         seed: int = 0,
+        profile_dir: Optional[str] = None,
+        profile_start: int = 10,
+        profile_num_steps: int = 5,
     ) -> TrainState:
+        """`profile_dir`: when set, a jax.profiler device trace of steps
+        [profile_start, profile_start+profile_num_steps) is written there
+        (TensorBoard Profile tab) — SURVEY.md §5.1."""
+        from recommend_tpu.utils.profiling import StepProfiler
+
         rng = jax.random.key(seed)
         first = next(train_iter)
         state = self.init_state(rng, first)
         start_step = int(state.step)
+        prof = StepProfiler(profile_dir, start_step + profile_start, profile_num_steps)
         t0 = time.time()
         batch = first
         for i in range(start_step, num_steps):
-            state, metrics = self._train_step(state, self._put_batch(batch), rng)
+            with prof.step(i):
+                state, metrics = self._train_step(state, self._put_batch(batch), rng)
             if (i + 1) % log_every == 0:
                 m = {k: float(v) for k, v in metrics.items()}
                 dt = time.time() - t0
@@ -408,6 +418,7 @@ class RetrievalTrainer:
                 )
             if i + 1 < num_steps:
                 batch = next(train_iter)
+        prof.close()
         if self.ckpt is not None:
             self.ckpt.save(
                 num_steps, state.params, state.opt_state,

@@ -40,6 +40,23 @@ def test_training_reduces_loss(tiny_cfg, tmp_path):
     assert int(state.step) == 60
 
 
+def test_profiler_trace_written(tiny_cfg, tmp_path):
+    import os
+
+    data = make_retrieval_data(tiny_cfg, num_users=30, num_videos=100, seed=2)
+    it = retrieval_batches(data, tiny_cfg, batch_size=16, seed=0)
+    trainer = RetrievalTrainer(tiny_cfg, total_steps=8)
+    prof_dir = str(tmp_path / "profile")
+    trainer.train(it, num_steps=8, log_every=100, profile_dir=prof_dir,
+                  profile_start=2, profile_num_steps=3)
+    # jax.profiler writes plugins/profile/<run>/ with trace artifacts
+    found = []
+    for root, _dirs, files in os.walk(prof_dir):
+        found += [os.path.join(root, f) for f in files]
+    assert any("trace" in f or f.endswith((".pb", ".json.gz", ".xplane.pb"))
+               for f in found), found
+
+
 def test_checkpoint_restore_resumes(tiny_cfg, tmp_path):
     data = make_retrieval_data(tiny_cfg, num_users=30, num_videos=100, seed=1)
     ckpt_dir = str(tmp_path / "ckpt2")
