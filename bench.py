@@ -44,6 +44,7 @@ def main():
         feature_embed_dim=128,
         seq_item_feature_dim=128,
         use_sparse_embedding_updates=True,
+        sparse_update_mode="rowwise",
         dense_lr=1e-3,
         dense_momentum=0.9,
         sparse_lr=0.05,

@@ -192,6 +192,10 @@ class RankingConfig:
     # touched-row-only embedding updates (the "sparse embedding server"
     # capability, SURVEY.md §5.8) — O(N·D) instead of O(V·D) per step
     use_sparse_embedding_updates: bool = False
+    # "exact": dedup + per-coordinate adagrad, bit-matches optax.adagrad.
+    # "rowwise": no-sort scatter-add + one accumulator scalar per row (the
+    # production TPU-embedding optimizer) — much faster; [V] opt state.
+    sparse_update_mode: str = "exact"
     param_dtype: str = "float32"
     compute_dtype: str = "bfloat16"
 

@@ -71,6 +71,35 @@ class RankingTrainer:
                     )
             return d
 
+        # id-embedding tables maintained by the touched-row sparse path; they
+        # are split OUT of the differentiated/optimized tree so the step never
+        # materializes full-size zero cotangents for them nor streams them
+        # through clip/rmsprop/apply_updates (profiled at >20 GB/step of HBM
+        # traffic on [1M, 128] tables — the dominant step cost).
+        self._table_keys = tuple(
+            [f"embed_{f}" for f in cfg.non_seq_features] + ["embed_seq_item"]
+        )
+
+        def split_tables(params):
+            inner = dict(params["params"])
+            tok = dict(inner["tokenizer"])
+            tables = {
+                k: tok.pop(k)["embedding"] for k in self._table_keys if k in tok
+            }
+            inner["tokenizer"] = tok
+            return {**params, "params": inner}, tables
+
+        def merge_tables(dense_params, tables):
+            inner = dict(dense_params["params"])
+            tok = dict(inner["tokenizer"])
+            for k, t in tables.items():
+                tok[k] = {"embedding": t}
+            inner["tokenizer"] = tok
+            return {**dense_params, "params": inner}
+
+        self._split_tables = split_tables
+        self._merge_tables = merge_tables
+
         def loss_fn(params, dummies, batch, dropout_rng):
             logits = self.model.apply(
                 params,
@@ -84,12 +113,24 @@ class RankingTrainer:
             loss, metrics = multi_task_bce_loss(logits, batch["labels"])
             return loss, (metrics, logits)
 
-        def apply_sparse_updates(params, accums, dummy_grads, batch):
-            """Touched-row adagrad on every embedding table; returns updated
-            (params, accums)."""
-            from recommend_tpu.ops.sparse_embed import sparse_update_table
+        def sparse_loss_fn(dense_params, tables, dummies, batch, dropout_rng):
+            return loss_fn(
+                merge_tables(dense_params, tables), dummies, batch, dropout_rng
+            )
 
-            tok = dict(params["params"]["tokenizer"])
+        def apply_sparse_updates(tables, accums, dummy_grads, batch):
+            """Touched-row adagrad on every embedding table; returns updated
+            (tables, accums)."""
+            from recommend_tpu.ops.sparse_embed import (
+                sparse_rowwise_update_table,
+                sparse_update_table,
+            )
+
+            update = (
+                sparse_rowwise_update_table
+                if cfg.sparse_update_mode == "rowwise" else sparse_update_table
+            )
+            new_tables = dict(tables)
             new_accums = dict(accums)
             # shared item table: concat ids/grads across behavior sequences
             seq_names = [sf for sf in cfg.sequence_features
@@ -102,43 +143,41 @@ class RankingTrainer:
                     [dummy_grads[f"seq_{sf}"].reshape(-1, cfg.seq_item_feature_dim)
                      for sf in seq_names]
                 )
-                table, accum = sparse_update_table(
-                    tok["embed_seq_item"]["embedding"],
+                table, accum = update(
+                    tables["embed_seq_item"],
                     accums["embed_seq_item"], ids, g, cfg.sparse_lr,
                 )
-                tok["embed_seq_item"] = {"embedding": table}
+                new_tables["embed_seq_item"] = table
                 new_accums["embed_seq_item"] = accum
             for f in cfg.non_seq_features:
                 key = f"embed_{f}"
-                table, accum = sparse_update_table(
-                    tok[key]["embedding"], accums[key],
+                table, accum = update(
+                    tables[key], accums[key],
                     batch["non_seq"][f], dummy_grads[f"ns_{f}"], cfg.sparse_lr,
                 )
-                tok[key] = {"embedding": table}
+                new_tables[key] = table
                 new_accums[key] = accum
-            new_params = dict(params)
-            inner = dict(new_params["params"])
-            inner["tokenizer"] = {**params["params"]["tokenizer"], **tok}
-            new_params["params"] = inner
-            return new_params, new_accums
+            return new_tables, new_accums
 
         @partial(jax.jit, donate_argnums=(0,))
         def train_step(state: TrainState, batch, rng):
             dropout_rng = jax.random.fold_in(rng, state.step)
             if sparse:
                 optax_state, accums = state.opt_state
+                dense_params, tables = split_tables(state.params)
                 dummies = make_dummies(batch)
-                (gparams, gdummies), (metrics, _) = jax.grad(
-                    loss_fn, argnums=(0, 1), has_aux=True
-                )(state.params, dummies, batch, dropout_rng)
+                (gdense, gdummies), (metrics, _) = jax.grad(
+                    sparse_loss_fn, argnums=(0, 2), has_aux=True
+                )(dense_params, tables, dummies, batch, dropout_rng)
                 updates, optax_state = self.optimizer.update(
-                    gparams, optax_state, state.params
+                    gdense, optax_state, dense_params
                 )
-                params = optax.apply_updates(state.params, updates)
-                params, accums = apply_sparse_updates(
-                    params, accums, gdummies, batch
+                dense_params = optax.apply_updates(dense_params, updates)
+                tables, accums = apply_sparse_updates(
+                    tables, accums, gdummies, batch
                 )
-                metrics["grad_norm"] = optax.global_norm(gparams)
+                params = merge_tables(dense_params, tables)
+                metrics["grad_norm"] = optax.global_norm(gdense)
                 return (
                     TrainState(params, (optax_state, accums), state.step + 1),
                     metrics,
@@ -189,20 +228,37 @@ class RankingTrainer:
             params = jax.jit(self.model.init, out_shardings=pshard)(
                 rng, batch["non_seq"], batch["sequences"], batch["seq_valid"]
             )
-            opt_state = jax.jit(self.optimizer.init)(params)
+            opt_params = (
+                self._split_tables(params)[0]
+                if self.cfg.use_sparse_embedding_updates else params
+            )
+            opt_state = jax.jit(self.optimizer.init)(opt_params)
         else:
             params = jax.jit(self.model.init)(
                 rng, batch["non_seq"], batch["sequences"], batch["seq_valid"]
             )
-            opt_state = self.optimizer.init(params)
+            opt_params = (
+                self._split_tables(params)[0]
+                if self.cfg.use_sparse_embedding_updates else params
+            )
+            opt_state = self.optimizer.init(opt_params)
         if self.cfg.use_sparse_embedding_updates:
             tok = params["params"]["tokenizer"]
             # optax.adagrad's default initial accumulator (0.1) for exact parity
-            accums = {
-                name: jnp.full_like(sub["embedding"], 0.1, dtype=jnp.float32)
-                for name, sub in tok.items()
-                if isinstance(sub, dict) and "embedding" in sub
-            }
+            # optax.adagrad's default initial accumulator (0.1) for parity;
+            # rowwise mode keeps ONE scalar per row ([V], not [V, D])
+            if self.cfg.sparse_update_mode == "rowwise":
+                accums = {
+                    name: jnp.full(sub["embedding"].shape[:1], 0.1, jnp.float32)
+                    for name, sub in tok.items()
+                    if isinstance(sub, dict) and "embedding" in sub
+                }
+            else:
+                accums = {
+                    name: jnp.full_like(sub["embedding"], 0.1, dtype=jnp.float32)
+                    for name, sub in tok.items()
+                    if isinstance(sub, dict) and "embedding" in sub
+                }
             opt_state = (opt_state, accums)
         state = TrainState(params, opt_state, jnp.zeros((), jnp.int32))
         if self.ckpt is not None:
