@@ -342,6 +342,221 @@ def _flash_bwd(sm_scale, q_offset, causal, block_q, block_k, res, do):
 flash_band_attention.defvjp(_flash_fwd, _flash_bwd)
 
 
+# ---------------------------------------------------------------------------
+# Fused small-sequence band attention
+#
+# At recommendation-model lengths (post-pyramid Lq≈100-200, Lkv≈200-400) the
+# blocked flash kernel above loses to XLA: its grid is (B·H, 1, 1), so every
+# grid step does ONE tiny half-MXU matmul and fixed per-step costs dominate.
+# The profile of the ranking train step instead shows the cost is HBM traffic
+# from the materialized f32 [B, H, Lq, Lkv] probabilities (~0.5 GB/layer).
+#
+# This kernel removes that traffic a different way: the whole (padded)
+# Lq×Lkv tile fits in VMEM, so there is no online softmax and no kv-block
+# loop at all — one grid step processes a GROUP of `g` batch·head rows,
+# computing full-row softmax per row. Backward is ONE kernel producing
+# dq/dk/dv together (probabilities recomputed from the saved logsumexp).
+# ---------------------------------------------------------------------------
+
+FUSED_GROUP = 8  # batch·head rows per grid step
+FUSED_MAX_KV = 1024  # beyond this the padded tile stops fitting comfortably
+
+
+def _fused_band(lq_p: int, lkv_p: int, q_offset: int, causal: bool):
+    if not causal:
+        return None
+    q_pos = q_offset + jax.lax.broadcasted_iota(jnp.int32, (lq_p, lkv_p), 0)
+    kv_pos = jax.lax.broadcasted_iota(jnp.int32, (lq_p, lkv_p), 1)
+    return jnp.where(kv_pos <= q_pos, 0.0, NEG_INF)
+
+
+# batched dot_general dimension numbers over the leading group dim
+_BD_QKT = (((2,), (2,)), ((0,), (0,)))   # [g,a,d]×[g,b,d] → [g,a,b]
+_BD_PV = (((2,), (1,)), ((0,), (0,)))    # [g,a,b]×[g,b,d] → [g,a,d]
+_BD_PTDO = (((1,), (1,)), ((0,), (0,)))  # [g,a,b]×[g,a,d] → [g,b,d]
+
+
+def _fused_fwd_kernel(
+    q_ref, k_ref, v_ref, bias_ref, o_ref, lse_ref,
+    *, sm_scale: float, q_offset: int, causal: bool, g: int,
+):
+    band = _fused_band(q_ref.shape[1], k_ref.shape[1], q_offset, causal)
+    s = jax.lax.dot_general(
+        q_ref[:], k_ref[:], _BD_QKT, preferred_element_type=jnp.float32
+    ) * sm_scale
+    s = s + bias_ref[:][:, None, :]
+    if band is not None:
+        s = s + band[None]
+    m = jnp.max(s, axis=2, keepdims=True)
+    p = jnp.exp(s - m)
+    l = jnp.sum(p, axis=2, keepdims=True)
+    acc = jax.lax.dot_general(
+        p.astype(v_ref.dtype), v_ref[:], _BD_PV,
+        preferred_element_type=jnp.float32,
+    )
+    o_ref[:] = (acc / jnp.maximum(l, 1e-30)).astype(o_ref.dtype)
+    lse_ref[:] = m[:, :, 0] + jnp.log(jnp.maximum(l[:, :, 0], 1e-30))
+
+
+def _fused_bwd_kernel(
+    q_ref, k_ref, v_ref, bias_ref, do_ref, lse_ref, delta_ref,
+    dq_ref, dk_ref, dv_ref,
+    *, sm_scale: float, q_offset: int, causal: bool, g: int,
+):
+    band = _fused_band(q_ref.shape[1], k_ref.shape[1], q_offset, causal)
+    q, k, v, do = q_ref[:], k_ref[:], v_ref[:], do_ref[:]
+    s = jax.lax.dot_general(
+        q, k, _BD_QKT, preferred_element_type=jnp.float32
+    ) * sm_scale
+    s = s + bias_ref[:][:, None, :]
+    if band is not None:
+        s = s + band[None]
+    p = jnp.exp(s - lse_ref[:][:, :, None])  # [g, lq_p, lkv_p]
+    pc = p.astype(do.dtype)
+    dv_ref[:] = jax.lax.dot_general(
+        pc, do, _BD_PTDO, preferred_element_type=jnp.float32
+    ).astype(dv_ref.dtype)
+    dp = jax.lax.dot_general(
+        do, v, _BD_QKT, preferred_element_type=jnp.float32
+    )
+    ds = (p * (dp - delta_ref[:][:, :, None]) * sm_scale).astype(k.dtype)
+    dq_ref[:] = jax.lax.dot_general(
+        ds, k, _BD_PV, preferred_element_type=jnp.float32
+    ).astype(dq_ref.dtype)
+    dk_ref[:] = jax.lax.dot_general(
+        ds, q, _BD_PTDO, preferred_element_type=jnp.float32
+    ).astype(dk_ref.dtype)
+
+
+def _fused_prep(q, k, v, kv_bias, g: int):
+    """Pad Lq to sublane multiples, Lkv to lane multiples, BH to the group."""
+    bh, lq, dh = q.shape
+    lkv = k.shape[1]
+    lq_p = _round_up(lq, 16)
+    lkv_p = _round_up(lkv, 128)
+    bh_p = _round_up(bh, g)
+    qp = _pad_axis(_pad_axis(q, 1, lq_p), 0, bh_p)
+    kp = _pad_axis(_pad_axis(k, 1, lkv_p), 0, bh_p)
+    vp = _pad_axis(_pad_axis(v, 1, lkv_p), 0, bh_p)
+    bias_p = _pad_axis(_pad_axis(kv_bias, 1, lkv_p, value=NEG_INF), 0, bh_p)
+    return qp, kp, vp, bias_p, bh_p, lq_p, lkv_p
+
+
+def _fused_fwd_impl(q, k, v, kv_bias, *, sm_scale, q_offset, causal, g):
+    bh, lq, dh = q.shape
+    qp, kp, vp, bias_p, bh_p, lq_p, lkv_p = _fused_prep(q, k, v, kv_bias, g)
+    kernel = functools.partial(
+        _fused_fwd_kernel, sm_scale=sm_scale, q_offset=q_offset, causal=causal,
+        g=g,
+    )
+    out, lse = pl.pallas_call(
+        kernel,
+        grid=(bh_p // g,),
+        in_specs=[
+            pl.BlockSpec((g, lq_p, dh), lambda b: (b, 0, 0)),
+            pl.BlockSpec((g, lkv_p, dh), lambda b: (b, 0, 0)),
+            pl.BlockSpec((g, lkv_p, dh), lambda b: (b, 0, 0)),
+            pl.BlockSpec((g, lkv_p), lambda b: (b, 0)),
+        ],
+        out_specs=[
+            pl.BlockSpec((g, lq_p, dh), lambda b: (b, 0, 0)),
+            pl.BlockSpec((g, lq_p), lambda b: (b, 0)),
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct((bh_p, lq_p, dh), q.dtype),
+            jax.ShapeDtypeStruct((bh_p, lq_p), jnp.float32),
+        ],
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("parallel",)
+        ),
+        cost_estimate=pl.CostEstimate(
+            flops=4 * bh_p * lq_p * lkv_p * dh,
+            bytes_accessed=2 * bh_p * (2 * lq_p + 2 * lkv_p) * dh,
+            transcendentals=bh_p * lq_p * lkv_p,
+        ),
+    )(qp, kp, vp, bias_p)
+    return out[:bh, :lq], lse[:bh, :lq]
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(4, 5, 6, 7))
+def fused_band_attention(
+    q: jax.Array,  # [BH, Lq, Dh]
+    k: jax.Array,  # [BH, Lkv, Dh]
+    v: jax.Array,
+    kv_bias: jax.Array,  # [BH, Lkv] additive (0 valid / -1e9 padded)
+    sm_scale: float,
+    q_offset: int,
+    causal: bool = True,
+    group: int = FUSED_GROUP,
+) -> jax.Array:
+    out, _ = _fused_fwd_impl(
+        q, k, v, kv_bias, sm_scale=sm_scale, q_offset=q_offset, causal=causal,
+        g=group,
+    )
+    return out
+
+
+def _fused_vjp_fwd(q, k, v, kv_bias, sm_scale, q_offset, causal, group):
+    out, lse = _fused_fwd_impl(
+        q, k, v, kv_bias, sm_scale=sm_scale, q_offset=q_offset, causal=causal,
+        g=group,
+    )
+    return out, (q, k, v, kv_bias, out, lse)
+
+
+def _fused_vjp_bwd(sm_scale, q_offset, causal, group, res, do):
+    q, k, v, kv_bias, out, lse = res
+    bh, lq, dh = q.shape
+    lkv = k.shape[1]
+    g = group
+    delta = jnp.sum(out.astype(jnp.float32) * do.astype(jnp.float32), axis=-1)
+
+    qp, kp, vp, bias_p, bh_p, lq_p, lkv_p = _fused_prep(q, k, v, kv_bias, g)
+    dop = _pad_axis(_pad_axis(do, 1, lq_p), 0, bh_p)
+    lsep = _pad_axis(_pad_axis(lse, 1, lq_p), 0, bh_p)
+    deltap = _pad_axis(_pad_axis(delta, 1, lq_p), 0, bh_p)
+
+    kernel = functools.partial(
+        _fused_bwd_kernel, sm_scale=sm_scale, q_offset=q_offset, causal=causal,
+        g=g,
+    )
+    dq, dk, dv = pl.pallas_call(
+        kernel,
+        grid=(bh_p // g,),
+        in_specs=[
+            pl.BlockSpec((g, lq_p, dh), lambda b: (b, 0, 0)),
+            pl.BlockSpec((g, lkv_p, dh), lambda b: (b, 0, 0)),
+            pl.BlockSpec((g, lkv_p, dh), lambda b: (b, 0, 0)),
+            pl.BlockSpec((g, lkv_p), lambda b: (b, 0)),
+            pl.BlockSpec((g, lq_p, dh), lambda b: (b, 0, 0)),
+            pl.BlockSpec((g, lq_p), lambda b: (b, 0)),
+            pl.BlockSpec((g, lq_p), lambda b: (b, 0)),
+        ],
+        out_specs=[
+            pl.BlockSpec((g, lq_p, dh), lambda b: (b, 0, 0)),
+            pl.BlockSpec((g, lkv_p, dh), lambda b: (b, 0, 0)),
+            pl.BlockSpec((g, lkv_p, dh), lambda b: (b, 0, 0)),
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct((bh_p, lq_p, dh), q.dtype),
+            jax.ShapeDtypeStruct((bh_p, lkv_p, dh), k.dtype),
+            jax.ShapeDtypeStruct((bh_p, lkv_p, dh), v.dtype),
+        ],
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("parallel",)
+        ),
+        cost_estimate=pl.CostEstimate(
+            flops=10 * bh_p * lq_p * lkv_p * dh,
+            bytes_accessed=4 * bh_p * (2 * lq_p + 3 * lkv_p) * dh,
+            transcendentals=bh_p * lq_p * lkv_p,
+        ),
+    )(qp, kp, vp, bias_p, dop, lsep, deltap)
+    return dq[:bh, :lq], dk[:bh, :lkv], dv[:bh, :lkv], None
+
+
+fused_band_attention.defvjp(_fused_vjp_fwd, _fused_vjp_bwd)
+
+
 def flash_attention_bhld(
     q: jax.Array,  # [B, Lq, H, Dh]  (model layout)
     k: jax.Array,  # [B, Lkv, H, Dh]
@@ -352,13 +567,24 @@ def flash_attention_bhld(
     block_q: int = DEFAULT_BLOCK_Q,
     block_k: int = DEFAULT_BLOCK_K,
 ) -> jax.Array:
-    """Model-layout wrapper: collapses (B, H), transposes, and restores."""
+    """Model-layout wrapper: collapses (B, H), transposes, and restores.
+
+    Dispatches to the fused whole-tile kernel at small kv lengths (where it
+    profiles ~3-4× faster than both XLA and the blocked kernel) and to the
+    blocked online-softmax flash kernel for long sequences.
+    """
     b, lq, h, dh = q.shape
     lkv = k.shape[1]
     sm_scale = 1.0 / float(dh) ** 0.5
     bias = jnp.where(kv_valid, 0.0, NEG_INF).astype(jnp.float32)
     bias = jnp.broadcast_to(bias[:, None, :], (b, h, lkv)).reshape(b * h, lkv)
     to_bh = lambda x: jnp.swapaxes(x, 1, 2).reshape(b * h, x.shape[1], dh)
+
+    if lkv <= FUSED_MAX_KV:
+        out = fused_band_attention(
+            to_bh(q), to_bh(k), to_bh(v), bias, sm_scale, q_offset, causal
+        )
+        return jnp.swapaxes(out.reshape(b, h, lq, dh), 1, 2).astype(q.dtype)
 
     def _pow2_block(n: int, cap: int) -> int:
         # power-of-two block sizes compile dramatically faster in mosaic than
