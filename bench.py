@@ -28,12 +28,15 @@ def main():
     # OneTrans-S-like: 6 layers, d=256, 12 NS tokens, ~350 S tokens.
     # feature dims are lane-aligned (128) — 64-wide tables provoke XLA layout
     # transposes that copy the [1M, d] tables every step (profiled); sparse
-    # embedding updates keep optimizer cost O(touched rows).
+    # embedding updates keep optimizer cost O(touched rows). num_heads=2 makes
+    # Dh=128 = one full MXU lane width (measured sweep at batch 512:
+    # heads 1/2/4/8 → 13218/12213/9180/7024 ex/s); 2 heads keeps multi-head
+    # attention semantics at the TPU-natural head width.
     cfg = get_config(
         "ranking_base",
         embed_dim=256,
         num_layers=6,
-        num_heads=4,
+        num_heads=2,
         ffn_dim=1024,
         num_ns_tokens=12,
         pyramid_ratios=(0.5, 0.3, 0.2, 0.1, 0.05, 0.03),
