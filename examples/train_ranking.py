@@ -32,6 +32,10 @@ def main():
     p.add_argument("--patience", type=int, default=5)
     p.add_argument("--flash", action="store_true")
     p.add_argument("--remat", action="store_true")
+    p.add_argument("--taobao", default=None, metavar="CSV",
+                   help="train on Taobao UserBehavior.csv instead of "
+                        "synthetic data (pv->click/cart+fav->cart/buy->"
+                        "purchase sequences, CTR=pv, CVR=later-buy)")
     p.add_argument("--tame-optimizer", action="store_true",
                    help="small-scale-friendly lrs instead of the paper's")
     args = p.parse_args()
@@ -51,7 +55,14 @@ def main():
         overrides.update(dense_lr=1e-3, dense_momentum=0.9, sparse_lr=0.05)
     cfg = get_config(args.config, **overrides)
 
-    data = make_ranking_data(cfg, args.num_samples, args.seq_len, seed=0)
+    if args.taobao:
+        from recommend_tpu.data.datasets import load_taobao_userbehavior
+
+        data = load_taobao_userbehavior(args.taobao, cfg,
+                                        max_seq_per_feature=args.seq_len)
+        print(f"Taobao UserBehavior: {data.num_samples} samples")
+    else:
+        data = make_ranking_data(cfg, args.num_samples, args.seq_len, seed=0)
     train_iter = prefetch(ranking_batches(data, cfg, args.batch_size, seed=0), 4)
     val_fn = lambda: itertools.islice(
         ranking_batches(data, cfg, args.batch_size, seed=99), 4

@@ -33,6 +33,10 @@ def main():
     p.add_argument("--eval_every", type=int, default=200)
     p.add_argument("--quick-start", action="store_true")
     p.add_argument("--causal", action="store_true", help="causal single-sequence mode")
+    p.add_argument("--movielens", default=None, metavar="DIR",
+                   help="train on MovieLens-1M (directory with ratings.dat/"
+                        "movies.dat) instead of synthetic data; evaluation "
+                        "uses the BERT4Rec leave-one-out split")
     args = p.parse_args()
 
     from recommend_tpu.config import get_config, save_config
@@ -50,12 +54,21 @@ def main():
     os.makedirs(args.model_dir, exist_ok=True)
     save_config(cfg, os.path.join(args.model_dir, "config.json"))
 
-    data = make_retrieval_data(cfg, args.num_users, args.num_videos, seed=0)
+    if args.movielens:
+        from recommend_tpu.data.datasets import leave_one_out_split, load_movielens_1m
+
+        full = load_movielens_1m(args.movielens, cfg)
+        data, val_data = leave_one_out_split(full)
+        print(f"MovieLens-1M: {len(data.user_sequences)} users, "
+              f"{data.num_videos} items")
+    else:
+        data = make_retrieval_data(cfg, args.num_users, args.num_videos, seed=0)
+        val_data = data
     train_iter = prefetch(
         retrieval_batches(data, cfg, args.batch_size, seed=0), size=4
     )
     val_fn = lambda: itertools.islice(
-        retrieval_batches(data, cfg, args.batch_size, seed=99), 4
+        retrieval_batches(val_data, cfg, args.batch_size, seed=99), 4
     )
 
     trainer = RetrievalTrainer(

@@ -1,0 +1,160 @@
+"""Open-dataset loaders: MovieLens-1M and Taobao UserBehavior fixtures."""
+
+import numpy as np
+import pytest
+
+from recommend_tpu.config import get_config
+from recommend_tpu.data.datasets import (
+    leave_one_out_split,
+    load_movielens_1m,
+    load_taobao_userbehavior,
+)
+
+
+@pytest.fixture
+def ml1m_dir(tmp_path):
+    """Tiny MovieLens-1M-format fixture: 3 users, 5 movies."""
+    (tmp_path / "movies.dat").write_text(
+        "1::Toy Story (1995)::Animation|Children's|Comedy\n"
+        "2::Jumanji (1995)::Adventure|Children's|Fantasy\n"
+        "3::Heat (1995)::Action|Crime|Thriller\n"
+        "4::Casino (1995)::Drama\n"
+        "5::Se7en (1995)::Crime|Thriller\n",
+        encoding="latin-1",
+    )
+    rows = []
+    # user 1: 5 events (kept), user 2: 4 events (kept with min=4),
+    # user 3: 2 events (dropped at min_interactions=4)
+    for u, movies in ((1, [1, 2, 3, 4, 5]), (2, [1, 3, 1, 2]), (3, [4, 5])):
+        for t, m in enumerate(movies):
+            rows.append(f"{u}::{m}::{(m % 5) + 1}::{978300000 + u * 1000 + t * 60}")
+    (tmp_path / "ratings.dat").write_text("\n".join(rows) + "\n")
+    return str(tmp_path)
+
+
+def test_movielens_loader_shapes_and_remap(ml1m_dir):
+    cfg = get_config("retrieval_small")
+    data = load_movielens_1m(ml1m_dir, cfg, min_interactions=4)
+    assert len(data.user_sequences) == 2  # user 3 dropped
+    assert data.num_videos == 5
+    # movie 1 appears 3 times → most popular → id 0
+    assert data.popularity[0] == 3  # movie 1: u1 once + u2 twice
+    # popularity is corpus-global (includes dropped short users — LogQ wants
+    # the true sampling distribution): 5 + 4 + 2 events
+    assert data.popularity.sum() == 11
+    for seq in data.user_sequences:
+        assert sorted(seq.keys()) == ["category", "duration", "tag", "timestamp", "video_id"]
+        assert np.all(np.diff(seq["timestamp"]) > 0)  # time-ordered
+        n = len(seq["video_id"])
+        for k, v in seq.items():
+            assert len(v) == n
+    # categories within vocab, duration is the rating*60 proxy
+    u1 = data.user_sequences[0]
+    assert u1["duration"].min() >= 60.0 and u1["duration"].max() <= 300.0
+    assert u1["category"].max() < cfg.category_vocab_size
+
+
+def test_movielens_missing_file_raises(tmp_path):
+    cfg = get_config("retrieval_small")
+    with pytest.raises(FileNotFoundError):
+        load_movielens_1m(str(tmp_path), cfg)
+
+
+def test_leave_one_out_split(ml1m_dir):
+    cfg = get_config("retrieval_small")
+    data = load_movielens_1m(ml1m_dir, cfg, min_interactions=4)
+    train, test = leave_one_out_split(data)
+    for tr, te in zip(train.user_sequences, data.user_sequences):
+        assert len(tr["video_id"]) == len(te["video_id"]) - 1
+        assert np.all(tr["video_id"] == te["video_id"][:-1])
+    assert len(test.user_sequences) == len(data.user_sequences)
+
+
+def test_movielens_feeds_retrieval_pipeline(ml1m_dir):
+    """Loader output drives retrieval_batches + a jitted forward unchanged."""
+    import jax
+
+    from recommend_tpu.data.pipeline import retrieval_batches
+    from recommend_tpu.models.retrieval import RetrievalTower
+
+    cfg = get_config(
+        "retrieval_small", max_seq_len=8, compression_schedule=((4, 2), (4, 1)),
+        video_vocab_size=16, category_vocab_size=32, tag_vocab_size=64,
+    )
+    data = load_movielens_1m(ml1m_dir, cfg, min_interactions=4)
+    batch = next(retrieval_batches(data, cfg, batch_size=2, min_history=1,
+                                   use_native=False))
+    assert batch["history"]["video_id"].shape == (2, 8)
+    model = RetrievalTower(cfg)
+    import jax.numpy as jnp
+    feats = {k: jnp.asarray(v) for k, v in batch["history"].items()}
+    valid = jnp.asarray(batch["history_valid"])
+    params = model.init(jax.random.key(0), feats, valid)
+    out = jax.jit(model.apply)(params, feats, valid)
+    assert out.shape == (2, cfg.num_query_tokens, cfg.embed_dim)
+
+
+@pytest.fixture
+def taobao_csv(tmp_path):
+    """UserBehavior.csv fixture: 2 users, pv/cart/buy chains."""
+    rows = [
+        # user 7: pv 100 → cart 100 → buy 100, then pv 200 (never bought)
+        "7,100,11,pv,1511660000",
+        "7,100,11,cart,1511660100",
+        "7,100,11,buy,1511660200",
+        "7,200,12,pv,1511660300",
+        # user 8: pv 200, pv 300, fav 300
+        "8,200,12,pv,1511661000",
+        "8,300,13,pv,1511661100",
+        "8,300,13,fav,1511661200",
+    ]
+    p = tmp_path / "UserBehavior.csv"
+    p.write_text("\n".join(rows) + "\n")
+    return str(p)
+
+
+def test_taobao_loader_labels_and_sequences(taobao_csv):
+    cfg = get_config("ranking_small")
+    data = load_taobao_userbehavior(
+        taobao_csv, cfg, max_seq_per_feature=4, negatives_per_positive=1, seed=0
+    )
+    n = data.num_samples
+    assert n >= 4  # ≥2 positives + their negatives
+    ctr = data.labels["ctr"]
+    cvr = data.labels["cvr"]
+    assert set(np.unique(ctr)) <= {0.0, 1.0}
+    assert np.all(cvr <= ctr)  # cvr ⊂ ctr
+    assert ctr.sum() >= 2 and (ctr == 0).sum() >= 2
+    # user 7's second pv (item 200, after buying 100): purchase_seq non-empty
+    pos_rows = np.nonzero(ctr == 1.0)[0]
+    assert any(data.seq_lengths["purchase_seq"][i] > 0 for i in pos_rows)
+    for sf in cfg.sequence_features:
+        assert data.sequences[sf].shape == (n, 4)
+        # left-padding: positions before (max - len) are zero
+        lens = data.seq_lengths[sf]
+        for i in range(n):
+            assert np.all(data.sequences[sf][i, : 4 - lens[i]] == 0)
+    for f in cfg.non_seq_features:
+        assert data.non_seq[f].shape == (n,)
+        assert data.non_seq[f].max() < cfg.vocab_size(f)
+
+
+def test_taobao_feeds_ranking_trainer(taobao_csv):
+    """Loader output drives ranking_batches + one CPU train step unchanged."""
+    import jax
+
+    from recommend_tpu.data.pipeline import ranking_batches
+    from recommend_tpu.training.ranking_trainer import RankingTrainer
+
+    cfg = get_config(
+        "ranking_small", batch_size=4, dropout_rate=0.0,
+        use_mixed_precision=False,  # CPU test backend has no bf16 dots
+        dense_optimizer="adam", dense_lr=1e-3, dense_momentum=0.9,
+    )
+    data = load_taobao_userbehavior(taobao_csv, cfg, max_seq_per_feature=4)
+    it = ranking_batches(data, cfg, batch_size=4, seed=0)
+    trainer = RankingTrainer(cfg)
+    batch = next(it)
+    state = trainer.init_state(jax.random.key(0), batch)
+    state, metrics = trainer._train_step(state, trainer._put_batch(batch), jax.random.key(1))
+    assert np.isfinite(float(metrics["loss"]))
