@@ -48,6 +48,9 @@ def main():
         seq_item_feature_dim=128,
         use_sparse_embedding_updates=True,
         sparse_update_mode="rowwise",
+        # Pallas flash band-attention kernel: +6% at these sizes after the
+        # whole-tile small-kv path (12541 → 13300 ex/s measured A/B)
+        use_flash_attention=True,
         dense_lr=1e-3,
         dense_momentum=0.9,
         sparse_lr=0.05,

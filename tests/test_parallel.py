@@ -135,3 +135,131 @@ def test_sharded_embedding_lookup_gradient(devices):
     for i in np.asarray(ids):
         expected[i] += 2.0
     np.testing.assert_allclose(g, expected, rtol=1e-6)
+
+
+def test_a2a_lookup_matches_dense(devices):
+    """Dedup + all-to-all lookup (SURVEY §5.8 protocol) must equal the dense
+    gather for duplicated, skewed, edge and padding ids."""
+    from recommend_tpu.parallel.embedding_sharding import (
+        shard_table,
+        sharded_lookup_a2a,
+    )
+    from jax.sharding import NamedSharding, PartitionSpec as P
+
+    mesh = make_mesh(data=1, model=8)
+    rng = np.random.default_rng(2)
+    V, D, B = 64, 16, 40
+    table = rng.normal(size=(V, D)).astype(np.float32)
+    ids = rng.integers(0, V, B)
+    ids[:8] = 7          # heavy duplication on one popular id
+    ids[8] = 0           # first row
+    ids[9] = V - 1       # last row
+    ids[10] = V          # padding sentinel → zero row
+    ts = shard_table(mesh, jnp.asarray(table), "model")
+    idv = jax.device_put(
+        jnp.asarray(ids), NamedSharding(mesh, P("model"))
+    )
+    out = np.asarray(sharded_lookup_a2a(mesh, ts, idv, "model"))
+    expected = np.where(
+        (ids < V)[:, None], table[np.minimum(ids, V - 1)], 0.0
+    )
+    np.testing.assert_allclose(out, expected, rtol=1e-6)
+
+
+def test_a2a_lookup_gradient(devices):
+    """Backward = scatter-add into the owning shard: duplicates accumulate,
+    padding contributes nothing."""
+    from recommend_tpu.parallel.embedding_sharding import (
+        shard_table,
+        sharded_lookup_a2a,
+    )
+    from jax.sharding import NamedSharding, PartitionSpec as P
+
+    mesh = make_mesh(data=1, model=8)
+    rng = np.random.default_rng(3)
+    V, D, B = 32, 8, 16
+    table = rng.normal(size=(V, D)).astype(np.float32)
+    ids = np.array([3, 3, 3, 17, 30, 0, 31, V, 5, 5, 12, 9, 1, 2, 28, 28])
+    ts = shard_table(mesh, jnp.asarray(table), "model")
+    idv = jax.device_put(jnp.asarray(ids), NamedSharding(mesh, P("model")))
+    w = rng.normal(size=(B, D)).astype(np.float32)
+
+    def loss(t):
+        return jnp.sum(sharded_lookup_a2a(mesh, t, idv, "model") * w)
+
+    g = np.asarray(jax.grad(loss)(ts))
+    expected = np.zeros_like(table)
+    for i, row in zip(ids, w):
+        if i < V:
+            expected[i] += row
+    np.testing.assert_allclose(g, expected, rtol=1e-5, atol=1e-6)
+
+
+def test_a2a_lookup_capacity_overflow_drops(devices):
+    """Requests past the per-owner capacity budget resolve to zero rows
+    (documented bandwidth/exactness trade)."""
+    from recommend_tpu.parallel.embedding_sharding import (
+        shard_table,
+        sharded_lookup_a2a,
+    )
+    from jax.sharding import NamedSharding, PartitionSpec as P
+
+    mesh = make_mesh(data=1, model=8)
+    V, D = 64, 8
+    table = np.arange(V * D, dtype=np.float32).reshape(V, D)
+    # every chip asks for 2 distinct ids owned by shard 0 (rows 0..7)
+    ids = np.array([0, 1] * 8)
+    ts = shard_table(mesh, jnp.asarray(table), "model")
+    idv = jax.device_put(jnp.asarray(ids), NamedSharding(mesh, P("model")))
+    exact = np.asarray(sharded_lookup_a2a(mesh, ts, idv, "model", capacity=2))
+    np.testing.assert_allclose(exact, table[ids])
+    capped = np.asarray(sharded_lookup_a2a(mesh, ts, idv, "model", capacity=1))
+    # first unique id per chip served, second dropped to zeros
+    np.testing.assert_allclose(capped[0::2], table[ids[0::2]])
+    np.testing.assert_allclose(capped[1::2], 0.0)
+
+
+def test_column_sharded_lookup_matches_dense(devices):
+    from recommend_tpu.parallel.embedding_sharding import (
+        shard_table_column,
+        sharded_lookup_column,
+    )
+    from jax.sharding import NamedSharding, PartitionSpec as P
+
+    mesh = make_mesh(data=1, model=8)
+    rng = np.random.default_rng(4)
+    V, D, B = 48, 32, 24
+    table = rng.normal(size=(V, D)).astype(np.float32)
+    ids = rng.integers(0, V, B)
+    ids[3] = V  # padding
+    ts = shard_table_column(mesh, jnp.asarray(table), "model")
+    idv = jax.device_put(jnp.asarray(ids), NamedSharding(mesh, P("model")))
+    out = np.asarray(sharded_lookup_column(mesh, ts, idv, "model"))
+    expected = np.where((ids < V)[:, None], table[np.minimum(ids, V - 1)], 0.0)
+    np.testing.assert_allclose(out, expected, rtol=1e-6)
+
+
+def test_column_sharded_lookup_gradient(devices):
+    from recommend_tpu.parallel.embedding_sharding import (
+        shard_table_column,
+        sharded_lookup_column,
+    )
+    from jax.sharding import NamedSharding, PartitionSpec as P
+
+    mesh = make_mesh(data=1, model=8)
+    rng = np.random.default_rng(5)
+    V, D = 16, 16
+    table = rng.normal(size=(V, D)).astype(np.float32)
+    ids = np.array([2, 2, 9, 15, 0, 7, 7, 7])
+    ts = shard_table_column(mesh, jnp.asarray(table), "model")
+    idv = jax.device_put(jnp.asarray(ids), NamedSharding(mesh, P("model")))
+    w = rng.normal(size=(len(ids), D)).astype(np.float32)
+
+    def loss(t):
+        return jnp.sum(sharded_lookup_column(mesh, t, idv, "model") * w)
+
+    g = np.asarray(jax.grad(loss)(ts))
+    expected = np.zeros_like(table)
+    for i, row in zip(ids, w):
+        expected[i] += row
+    np.testing.assert_allclose(g, expected, rtol=1e-5, atol=1e-6)
