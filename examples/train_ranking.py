@@ -36,6 +36,9 @@ def main():
                    help="train on Taobao UserBehavior.csv instead of "
                         "synthetic data (pv->click/cart+fav->cart/buy->"
                         "purchase sequences, CTR=pv, CVR=later-buy)")
+    p.add_argument("--criteo", default=None, metavar="TSV",
+                   help="train on the Criteo Kaggle train.txt (NS-only CTR; "
+                        "--config is ignored, criteo_ranking_config is used)")
     p.add_argument("--tame-optimizer", action="store_true",
                    help="small-scale-friendly lrs instead of the paper's")
     args = p.parse_args()
@@ -53,9 +56,19 @@ def main():
     )
     if args.tame_optimizer:
         overrides.update(dense_lr=1e-3, dense_momentum=0.9, sparse_lr=0.05)
-    cfg = get_config(args.config, **overrides)
+    if args.criteo:
+        from recommend_tpu.data.datasets import criteo_ranking_config
 
-    if args.taobao:
+        cfg = criteo_ranking_config(**overrides)
+    else:
+        cfg = get_config(args.config, **overrides)
+
+    if args.criteo:
+        from recommend_tpu.data.datasets import load_criteo_kaggle
+
+        data = load_criteo_kaggle(args.criteo, max_samples=args.num_samples)
+        print(f"Criteo: {data.num_samples} samples (NS-only)")
+    elif args.taobao:
         from recommend_tpu.data.datasets import load_taobao_userbehavior
 
         data = load_taobao_userbehavior(args.taobao, cfg,

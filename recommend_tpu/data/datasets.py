@@ -1,5 +1,5 @@
-"""Open-dataset loaders — MovieLens-1M (retrieval) and Taobao UserBehavior
-(ranking).
+"""Open-dataset loaders — MovieLens-1M (retrieval), Taobao UserBehavior
+(ranking), and Criteo Kaggle (NS-only CTR ranking).
 
 These realize the benchmark configs named in BASELINE.json ("BERT4Rec
 masked-item model on MovieLens-1M", "OneTrans-small ... Taobao/Criteo-seq
@@ -277,3 +277,102 @@ def load_taobao_userbehavior(
     out_labels = {t: np.asarray(labels.get(t, [0.0] * n), dtype=np.float32)
                   for t in cfg.tasks}
     return SyntheticRankingData(non_seq, sequences, seq_lengths, out_labels)
+
+
+# ---------------------------------------------------------------------------
+# Criteo (Kaggle Display Advertising Challenge) — the "Criteo-seq sample"
+# ranking config of BASELINE.json. Criteo has no behavior sequences, so it
+# exercises the NS-only degenerate stream: the unified tokenizer emits just
+# the num_ns_tokens tokens (S length 0), which is exactly the paper's
+# non-sequential DCNv2-class setting (oneTrans translation:199 baselines).
+# ---------------------------------------------------------------------------
+
+CRITEO_NUM_INT = 13
+CRITEO_NUM_CAT = 26
+
+
+def criteo_ranking_config(
+    cat_vocab: int = 65_536,
+    num_buckets: int = 64,
+    **overrides,
+) -> RankingConfig:
+    """RankingConfig over Criteo's schema: 13 log-bucketized integer features
+    + 26 hashed categorical features, single `ctr` task, no sequences."""
+    int_feats = tuple(f"i{k}" for k in range(1, CRITEO_NUM_INT + 1))
+    cat_feats = tuple(f"c{k}" for k in range(1, CRITEO_NUM_CAT + 1))
+    vocab = tuple((f, num_buckets) for f in int_feats) + tuple(
+        (f, cat_vocab) for f in cat_feats
+    ) + (("item_id", 2),)  # unused S-item table stub
+    defaults = dict(
+        user_features=(),
+        item_features=int_feats,
+        context_features=cat_feats,
+        sequence_features=(),
+        feature_vocab_sizes=vocab,
+        tasks=("ctr",),
+        feature_embed_dim=32,
+    )
+    defaults.update(overrides)
+    return RankingConfig(**defaults)
+
+
+def load_criteo_kaggle(
+    path: str,
+    cat_vocab: int = 65_536,
+    num_buckets: int = 64,
+    max_samples: Optional[int] = None,
+) -> SyntheticRankingData:
+    """Parse the Criteo Kaggle TSV (``label \\t I1..I13 \\t C1..C26``; empty
+    fields allowed) into NS-only ranking samples.
+
+    Feature mapping (the standard recipe): integers x → bucket
+    ``int(log2(x+1)) + 2`` (0 = missing, 1 = negative values), clipped to
+    ``num_buckets``; categorical hex tokens → ``1 + int(tok, 16) % (vocab-1)``
+    (0 = missing). Labels: ``ctr`` ∈ {0, 1}. Pair with
+    ``criteo_ranking_config(cat_vocab, num_buckets)``.
+    """
+    if not os.path.exists(path):
+        raise FileNotFoundError(
+            f"{path} not found — download the Criteo Kaggle train.txt and "
+            "pass its path (no network egress here)."
+        )
+    labels: List[float] = []
+    ints: List[List[int]] = []
+    cats: List[List[int]] = []
+    with open(path, encoding="utf-8") as f:
+        for line in f:
+            parts = line.rstrip("\n").split("\t")
+            if len(parts) != 1 + CRITEO_NUM_INT + CRITEO_NUM_CAT:
+                continue
+            labels.append(float(parts[0]))
+            row_i = []
+            for tok in parts[1 : 1 + CRITEO_NUM_INT]:
+                if not tok:
+                    row_i.append(0)
+                else:
+                    x = int(tok)
+                    b = 1 if x < 0 else min(
+                        int(np.log2(x + 1)) + 2, num_buckets - 1
+                    )
+                    row_i.append(b)
+            ints.append(row_i)
+            cats.append(
+                [
+                    0 if not tok else 1 + int(tok, 16) % (cat_vocab - 1)
+                    for tok in parts[1 + CRITEO_NUM_INT :]
+                ]
+            )
+            if max_samples is not None and len(labels) >= max_samples:
+                break
+    ia = np.asarray(ints, np.int32)
+    ca = np.asarray(cats, np.int32)
+    non_seq = {f"i{k}": ia[:, k - 1] for k in range(1, CRITEO_NUM_INT + 1)}
+    non_seq.update(
+        {f"c{k}": ca[:, k - 1] for k in range(1, CRITEO_NUM_CAT + 1)}
+    )
+    return SyntheticRankingData(
+        non_seq=non_seq,
+        sequences={},
+        seq_lengths={},
+        labels={"ctr": np.asarray(labels, np.float32)},
+    )

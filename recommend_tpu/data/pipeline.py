@@ -150,7 +150,10 @@ def ranking_batches(
     ``labels``: dict task → [B] float."""
     n = data.num_samples
     rng = np.random.default_rng(seed)
-    max_len = next(iter(data.sequences.values())).shape[1]
+    # NS-only datasets (Criteo) have no behavior sequences
+    max_len = (
+        next(iter(data.sequences.values())).shape[1] if data.sequences else 0
+    )
     epoch = 0
     while num_epochs is None or epoch < num_epochs:
         order = rng.permutation(n)

@@ -141,9 +141,15 @@ class UnifiedTokenizer(nn.Module):
         dummies: Optional[Dict[str, jax.Array]] = None,
     ) -> Tuple[jax.Array, jax.Array]:
         """Full token stream [S; NS] → ([B, L, d], [B, L] validity)."""
-        s, s_valid = self.s_tokens(sequences, seq_valid, dummies)
         ns = self.ns_tokens(non_seq, dummies)
         b = ns.shape[0]
+        if not any(f in sequences for f in self.config.sequence_features):
+            # NS-only datasets (e.g. Criteo: no behavior sequences) — the
+            # stream degenerates to the 12 NS tokens; S length 0.
+            s = jnp.zeros((b, 0, ns.shape[-1]), ns.dtype)
+            s_valid = jnp.zeros((b, 0), bool)
+        else:
+            s, s_valid = self.s_tokens(sequences, seq_valid, dummies)
         tokens = jnp.concatenate([s, ns], axis=1)
         valid = jnp.concatenate(
             [s_valid, jnp.ones((b, ns.shape[1]), dtype=bool)], axis=1

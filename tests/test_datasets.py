@@ -158,3 +158,93 @@ def test_taobao_feeds_ranking_trainer(taobao_csv):
     state = trainer.init_state(jax.random.key(0), batch)
     state, metrics = trainer._train_step(state, trainer._put_batch(batch), jax.random.key(1))
     assert np.isfinite(float(metrics["loss"]))
+
+
+def test_criteo_loader_and_ns_only_training(tmp_path):
+    """Criteo TSV → NS-only samples (no behavior sequences): loader parses
+    missing fields, bucketizes/hashes into the config's vocabs, and the
+    unified tokenizer's degenerate S-length-0 stream trains end-to-end."""
+    import jax
+
+    from recommend_tpu.data.datasets import (
+        criteo_ranking_config,
+        load_criteo_kaggle,
+    )
+    from recommend_tpu.data.pipeline import ranking_batches
+    from recommend_tpu.training.ranking_trainer import RankingTrainer
+
+    rng = np.random.default_rng(0)
+    rows = []
+    for i in range(96):
+        label = int(rng.random() < 0.3)
+        ints = [
+            "" if rng.random() < 0.2 else str(int(rng.integers(-2, 5000)))
+            for _ in range(13)
+        ]
+        cats = [
+            "" if rng.random() < 0.2 else f"{int(rng.integers(0, 2**32)):08x}"
+            for _ in range(26)
+        ]
+        rows.append("\t".join([str(label)] + ints + cats))
+    p = tmp_path / "criteo_sample.txt"
+    p.write_text("\n".join(rows) + "\n")
+
+    cfg = criteo_ranking_config(
+        cat_vocab=512, num_buckets=16,
+        embed_dim=64, num_layers=2, num_heads=1, ffn_dim=128,
+        num_ns_tokens=4, pyramid_ratios=(1.0, 1.0), batch_size=32,
+        use_mixed_precision=False,
+        dense_optimizer="adam", dense_lr=1e-3,
+    )
+    data = load_criteo_kaggle(str(p), cat_vocab=512, num_buckets=16)
+    assert data.num_samples == 96
+    assert data.sequences == {}
+    for k in range(1, 14):
+        col = data.non_seq[f"i{k}"]
+        assert col.min() >= 0 and col.max() < 16
+    for k in range(1, 27):
+        col = data.non_seq[f"c{k}"]
+        assert col.min() >= 0 and col.max() < 512
+
+    tr = RankingTrainer(cfg)
+    it = ranking_batches(data, cfg, batch_size=32, seed=0)
+    first = next(it)
+    state = tr.init_state(jax.random.key(0), first)
+    losses = []
+    batch = first
+    for _ in range(10):
+        state, m = tr._train_step(state, tr._put_batch(batch), jax.random.key(1))
+        losses.append(float(m["loss"]))
+        batch = next(it)
+    assert losses[-1] < losses[0]
+
+
+def test_ns_only_model_with_sparse_updates():
+    """The NS-only path must also work with touched-row sparse updates."""
+    import jax
+
+    from recommend_tpu.data.datasets import criteo_ranking_config
+    from recommend_tpu.data.synthetic import SyntheticRankingData
+    from recommend_tpu.data.pipeline import ranking_batches
+    from recommend_tpu.training.ranking_trainer import RankingTrainer
+
+    rng = np.random.default_rng(1)
+    n = 64
+    cfg = criteo_ranking_config(
+        cat_vocab=256, num_buckets=16,
+        embed_dim=64, num_layers=2, num_heads=1, ffn_dim=128,
+        num_ns_tokens=4, pyramid_ratios=(1.0, 1.0), batch_size=32,
+        use_sparse_embedding_updates=True, sparse_update_mode="rowwise",
+        use_mixed_precision=False,
+        dense_optimizer="adam", dense_lr=1e-3, sparse_lr=0.05,
+    )
+    non_seq = {f: rng.integers(0, cfg.vocab_size(f), n).astype(np.int32)
+               for f in cfg.non_seq_features}
+    labels = {"ctr": (rng.random(n) < 0.4).astype(np.float32)}
+    data = SyntheticRankingData(non_seq, {}, {}, labels)
+    tr = RankingTrainer(cfg)
+    it = ranking_batches(data, cfg, batch_size=32, seed=0)
+    first = next(it)
+    state = tr.init_state(jax.random.key(0), first)
+    state, m = tr._train_step(state, tr._put_batch(first), jax.random.key(1))
+    assert np.isfinite(float(m["loss"]))
