@@ -26,6 +26,19 @@ from recommend_tpu.data.synthetic import SyntheticRankingData, SyntheticRetrieva
 FEATURE_KEYS = ("video_id", "category", "tag", "duration", "timestamp")
 
 
+def _resolve_shard(
+    num_shards: Optional[int], shard_id: Optional[int]
+) -> Tuple[int, int]:
+    """Default the data shard to this host's jax process (multi-host DP)."""
+    if num_shards is None:
+        import jax
+
+        num_shards = jax.process_count()
+        shard_id = jax.process_index()
+    assert 0 <= (shard_id or 0) < num_shards
+    return num_shards, shard_id or 0
+
+
 def build_retrieval_examples(
     data: SyntheticRetrievalData,
     cfg: RetrievalConfig,
@@ -69,6 +82,8 @@ def retrieval_batches(
     num_epochs: Optional[int] = None,
     min_history: int = 5,
     use_native: bool = True,
+    num_shards: Optional[int] = None,
+    shard_id: Optional[int] = None,
 ) -> Iterator[Dict[str, np.ndarray]]:
     """Yields batches:
     ``history``: dict of [B, L] feature arrays; ``history_valid``: [B, L] bool;
@@ -77,10 +92,16 @@ def retrieval_batches(
 
     Batch assembly runs through the native C++ batcher when available
     (native/batcher.cc via ctypes); the numpy path below is the reference
-    implementation and automatic fallback."""
+    implementation and automatic fallback.
+
+    Multi-host DP (SURVEY.md §5.8): pass ``num_shards``/``shard_id`` (default:
+    jax process count/index when distributed) — every host runs the SAME
+    seeded permutation and takes a disjoint stride of it, so the global epoch
+    covers each example exactly once with no coordination traffic."""
     examples = build_retrieval_examples(data, cfg, min_history)
     probs = data.sampling_probs()
     rng = np.random.default_rng(seed)
+    num_shards, shard_id = _resolve_shard(num_shards, shard_id)
 
     lib = None
     if use_native:
@@ -92,7 +113,7 @@ def retrieval_batches(
             ex = np.asarray(examples, dtype=np.int64)
             epoch = 0
             while num_epochs is None or epoch < num_epochs:
-                order = rng.permutation(len(examples))
+                order = rng.permutation(len(examples))[shard_id::num_shards]
                 for i in range(0, len(order) - batch_size + 1, batch_size):
                     idx = order[i : i + batch_size]
                     b = fill_retrieval_batch(
@@ -105,7 +126,7 @@ def retrieval_batches(
 
     epoch = 0
     while num_epochs is None or epoch < num_epochs:
-        order = rng.permutation(len(examples))
+        order = rng.permutation(len(examples))[shard_id::num_shards]
         for i in range(0, len(order) - batch_size + 1, batch_size):
             idx = order[i : i + batch_size]
             hist = {k: np.zeros((batch_size, cfg.max_seq_len),
@@ -142,22 +163,28 @@ def ranking_batches(
     batch_size: int,
     seed: int = 0,
     num_epochs: Optional[int] = None,
+    num_shards: Optional[int] = None,
+    shard_id: Optional[int] = None,
 ) -> Iterator[Dict[str, object]]:
     """Yields batches:
     ``non_seq``: dict feature → [B] int ids;
     ``sequences``: dict seq-feature → [B, L] int ids (left-padded);
     ``seq_valid``: dict seq-feature → [B, L] bool;
-    ``labels``: dict task → [B] float."""
+    ``labels``: dict task → [B] float.
+
+    ``num_shards``/``shard_id``: per-host disjoint slices of the same seeded
+    permutation for multi-host DP (see retrieval_batches)."""
     n = data.num_samples
     rng = np.random.default_rng(seed)
+    num_shards, shard_id = _resolve_shard(num_shards, shard_id)
     # NS-only datasets (Criteo) have no behavior sequences
     max_len = (
         next(iter(data.sequences.values())).shape[1] if data.sequences else 0
     )
     epoch = 0
     while num_epochs is None or epoch < num_epochs:
-        order = rng.permutation(n)
-        for i in range(0, n - batch_size + 1, batch_size):
+        order = rng.permutation(n)[shard_id::num_shards]
+        for i in range(0, len(order) - batch_size + 1, batch_size):
             idx = order[i : i + batch_size]
             seq_valid = {
                 sf: np.arange(max_len)[None, :]

@@ -248,3 +248,35 @@ def test_ns_only_model_with_sparse_updates():
     state = tr.init_state(jax.random.key(0), first)
     state, m = tr._train_step(state, tr._put_batch(first), jax.random.key(1))
     assert np.isfinite(float(m["loss"]))
+
+
+def test_pipeline_process_sharding_partitions_epoch():
+    """num_shards/shard_id must give disjoint per-host slices whose union is
+    the full epoch (multi-host DP input convention, SURVEY §5.8)."""
+    from recommend_tpu import get_config
+    from recommend_tpu.data.pipeline import ranking_batches, retrieval_batches
+    from recommend_tpu.data.synthetic import make_ranking_data, make_retrieval_data
+
+    rcfg = get_config("ranking_small", batch_size=8)
+    rdata = make_ranking_data(rcfg, num_samples=64, max_seq_per_feature=8, seed=0)
+    seen = []
+    for shard in range(4):
+        for b in ranking_batches(rdata, rcfg, 8, seed=7, num_epochs=1,
+                                 num_shards=4, shard_id=shard):
+            seen.append(np.stack([b["non_seq"][f] for f in rcfg.non_seq_features]))
+    rows = np.concatenate([s.T for s in seen])
+    assert len(rows) == 64  # 4 shards x 16 samples, no batch remainder lost
+    assert len(np.unique(rows, axis=0)) == len(rows)  # disjoint
+
+    cfg = get_config(
+        "retrieval_small", max_seq_len=16, compression_schedule=((8, 4), (8, 1))
+    )
+    data = make_retrieval_data(cfg, num_users=30, num_videos=200, seed=0)
+    full = sum(1 for _ in retrieval_batches(data, cfg, 8, seed=3, num_epochs=1,
+                                            num_shards=1, shard_id=0))
+    per_shard = [
+        sum(1 for _ in retrieval_batches(data, cfg, 8, seed=3, num_epochs=1,
+                                         num_shards=2, shard_id=s))
+        for s in range(2)
+    ]
+    assert sum(per_shard) in (full, full - 1, full - 2)  # drop-remainder slack
