@@ -86,34 +86,73 @@ class RankingInferenceEngine:
         self._sessions: Dict[Any, Dict] = {}
 
     # -- loading (reference :38-60) ---------------------------------------
-    @classmethod
-    def from_checkpoint(cls, checkpoint_dir: str, max_seq_len: int = 64):
-        from recommend_tpu.config import RankingConfig as RC
+    @staticmethod
+    def _restore_params(cfg, model, checkpoint_dir: str, max_seq_len: int):
         from recommend_tpu.training.checkpoint import CheckpointManager
         from recommend_tpu.training.optimizer import make_ranking_optimizer
-
-        with open(os.path.join(checkpoint_dir, "config.json")) as f:
-            cfg = RC.from_dict(json.load(f))
-        engine = cls(cfg, params=None, max_seq_len=max_seq_len)
-        # restore params using a freshly-initialized template
         from recommend_tpu.data.pipeline import ranking_batches
         from recommend_tpu.data.synthetic import make_ranking_data
 
         data = make_ranking_data(cfg, num_samples=8, max_seq_per_feature=max_seq_len)
         batch = next(iter(ranking_batches(data, cfg, batch_size=2, num_epochs=1)))
-        template = jax.jit(engine.model.init)(
+        template = jax.jit(model.init)(
             jax.random.key(0),
             {k: jnp.asarray(v) for k, v in batch["non_seq"].items()},
             {k: jnp.asarray(v) for k, v in batch["sequences"].items()},
             {k: jnp.asarray(v) for k, v in batch["seq_valid"].items()},
         )
         opt = make_ranking_optimizer(cfg)
-        mngr = CheckpointManager(checkpoint_dir)
-        restored = mngr.restore(template, opt.init(template))
+        restored = CheckpointManager(checkpoint_dir).restore(
+            template, opt.init(template)
+        )
         if restored is None:
             raise FileNotFoundError(f"no checkpoint in {checkpoint_dir}")
-        _, engine.params, _ = restored
+        return restored[1]
+
+    @classmethod
+    def from_checkpoint(cls, checkpoint_dir: str, max_seq_len: int = 64):
+        from recommend_tpu.config import RankingConfig as RC
+
+        with open(os.path.join(checkpoint_dir, "config.json")) as f:
+            cfg = RC.from_dict(json.load(f))
+        engine = cls(cfg, params=None, max_seq_len=max_seq_len)
+        engine.params = cls._restore_params(
+            cfg, engine.model, checkpoint_dir, max_seq_len
+        )
         return engine
+
+    def reload(
+        self,
+        params=None,
+        checkpoint_dir: Optional[str] = None,
+        refresh_sessions: bool = True,
+    ) -> None:
+        """Hot parameter push (the minute-level online update of the
+        reference's deployment narrative, kuaiformer translation:210-214):
+        swap in new params with NO recompilation (params are traced arguments
+        of every jitted path) and zero downtime. Live sessions survive —
+        their raw id history is kept and, with ``refresh_sessions``, their
+        cached token vectors are re-embedded under the new params so the
+        cross-request cache stays exact rather than serving stale vectors."""
+        assert (params is None) != (checkpoint_dir is None), (
+            "pass exactly one of params / checkpoint_dir"
+        )
+        if checkpoint_dir is not None:
+            params = self._restore_params(
+                self.cfg, self.model, checkpoint_dir, self.max_seq_len
+            )
+        self.params = params
+        if refresh_sessions:
+            for sess in self._sessions.values():
+                for sf, entry in sess.items():
+                    ids = entry["ids"]
+                    if not ids:
+                        continue
+                    b = _bucket(len(ids))
+                    padded = np.asarray(ids + [0] * (b - len(ids)), np.int64)
+                    entry["tokens"] = np.asarray(
+                        self._embed_items(self.params, jnp.asarray(padded))
+                    )[: len(ids)]
 
     # -- preprocessing (reference :62-92) ----------------------------------
     def preprocess_sequences(

@@ -86,12 +86,14 @@ class RetrievalIndex:
         self.q_items: Optional[jax.Array] = None
         self.q_scales: Optional[jax.Array] = None
         self.ivf_index = None
+        self._last_corpus: Optional[Dict[str, np.ndarray]] = None
         self._embed_fn = jax.jit(
             lambda p, f: model.apply(p, f, method=RetrievalTower.item_embeddings)
         )
 
     def build(self, corpus_features: Dict[str, np.ndarray]) -> None:
         """Embed every corpus item in batches (reference :28-44)."""
+        self._last_corpus = corpus_features
         v = len(corpus_features["video_id"])
         outs = []
         bs = self.embed_batch
@@ -112,6 +114,58 @@ class RetrievalIndex:
                 n_clusters=self.ivf_clusters,
                 iters=self.ivf_iters,
             )
+
+    def update_items(self, item_features: Dict[str, np.ndarray]) -> None:
+        """Incremental index update (minute-level online learning, kuaiformer
+        translation:210-214): re-embed ONLY the given items — new uploads or
+        items whose features/embeddings changed after a parameter push — and
+        scatter their rows into the live corpus matrix (and its int8 copy).
+        ``item_features["video_id"]`` selects the rows; ids may exceed the
+        current corpus size by appearing exactly at the end (append).
+
+        IVF note: cluster assignment for updated rows is NOT revisited;
+        centroids drift slowly, so periodic `build()` refreshes remain the
+        rebalance mechanism (same as FAISS IVF in production)."""
+        assert self.item_embeddings is not None, "call build() first"
+        ids = np.asarray(item_features["video_id"], np.int64)
+        chunk = {k: jnp.asarray(item_features[k]) for k in FEATURE_KEYS}
+        rows = self._embed_fn(self.params, chunk)
+        v = self.item_embeddings.shape[0]
+        if ids.max() >= v:  # append-grow
+            grow = int(ids.max()) + 1 - v
+            self.item_embeddings = jnp.concatenate(
+                [self.item_embeddings, jnp.zeros((grow, rows.shape[1]), rows.dtype)]
+            )
+        self.item_embeddings = self.item_embeddings.at[jnp.asarray(ids)].set(rows)
+        if self.quantize == "int8":
+            self.q_items, self.q_scales = jax.jit(quantize_corpus)(
+                self.item_embeddings
+            ) if ids.size > v // 4 else self._update_quantized(ids, rows)
+
+    def _update_quantized(self, ids, rows):
+        q_rows, s_rows = quantize_corpus(rows)
+        v = self.q_items.shape[0]
+        if int(np.max(ids)) >= v:
+            grow = int(np.max(ids)) + 1 - v
+            self.q_items = jnp.concatenate(
+                [self.q_items, jnp.zeros((grow, self.q_items.shape[1]), jnp.int8)]
+            )
+            self.q_scales = jnp.concatenate(
+                [self.q_scales, jnp.zeros((grow,), jnp.float32)]
+            )
+        idv = jnp.asarray(ids)
+        return (
+            self.q_items.at[idv].set(q_rows),
+            self.q_scales.at[idv].set(s_rows),
+        )
+
+    def refresh(self, params) -> None:
+        """Full parameter push: swap the item-tower params and re-embed the
+        whole corpus (call after a training checkpoint lands). Jitted paths
+        take params as arguments, so no recompilation."""
+        self.params = params
+        if self._last_corpus is not None:
+            self.build(self._last_corpus)
 
     def search(
         self, interests: jax.Array, top_k: Optional[int] = None

@@ -198,3 +198,65 @@ def test_retrieval_index_ivf(retrieval_setup):
         ids = i2[row][i2[row] >= 0]
         assert len(np.unique(ids)) == len(ids)
         assert (np.diff(s2[row]) <= 1e-6).all()
+
+
+def test_retrieval_index_update_items(retrieval_setup):
+    """Incremental update must equal a full rebuild for the touched rows
+    (minute-level online learning, translation:210-214)."""
+    cfg, model, params, data = retrieval_setup
+    index = RetrievalIndex(cfg, model, params, embed_batch=64, quantize="int8")
+    corpus = data.corpus_features()
+    index.build(corpus)
+    before = np.asarray(index.item_embeddings).copy()
+    # change features of 5 items and push the delta
+    upd = {k: np.array(v[10:15]) for k, v in corpus.items()}
+    upd["category"] = (upd["category"] + 1) % cfg.category_vocab_size
+    index.update_items(upd)
+    after = np.asarray(index.item_embeddings)
+    # untouched rows identical; touched rows match a fresh full rebuild
+    mask = np.ones(len(before), bool); mask[10:15] = False
+    np.testing.assert_allclose(after[mask], before[mask])
+    full = RetrievalIndex(cfg, model, params, embed_batch=64, quantize="int8")
+    corpus2 = {k: np.array(v) for k, v in corpus.items()}
+    corpus2["category"][10:15] = upd["category"]
+    full.build(corpus2)
+    np.testing.assert_allclose(after, np.asarray(full.item_embeddings), atol=1e-6)
+    np.testing.assert_allclose(
+        np.asarray(index.q_items), np.asarray(full.q_items)
+    )
+
+
+def test_retrieval_index_refresh_params(retrieval_setup):
+    """Parameter push: refresh() re-embeds the corpus under new params."""
+    cfg, model, params, data = retrieval_setup
+    index = RetrievalIndex(cfg, model, params, embed_batch=64)
+    index.build(data.corpus_features())
+    new_params = jax.tree_util.tree_map(lambda p: p * 1.1, params)
+    index.refresh(new_params)
+    fresh = RetrievalIndex(cfg, model, new_params, embed_batch=64)
+    fresh.build(data.corpus_features())
+    np.testing.assert_allclose(
+        np.asarray(index.item_embeddings), np.asarray(fresh.item_embeddings)
+    )
+
+
+def test_ranking_engine_reload_refreshes_sessions(ranking_engine):
+    """reload() must swap params without recompiling and re-embed live
+    sessions so cached token vectors are not stale."""
+    cfg, params = ranking_engine.cfg, ranking_engine.params
+    eng = RankingInferenceEngine(cfg, params, max_seq_len=8)
+    eng.update_session("u1", {cfg.sequence_features[0]: [3, 5, 7]})
+    user = {f: 0 for f in cfg.non_seq_features}
+    cands = [{"item_id": i} for i in range(3)]
+    t0 = cfg.tasks[0]
+    p_old = [r[t0] for r in eng.score_session("u1", user, cands)]
+    new_params = jax.tree_util.tree_map(lambda p: p * 1.05, params)
+    eng.reload(params=new_params)
+    p_new = [r[t0] for r in eng.score_session("u1", user, cands)]
+    assert not np.allclose(p_old, p_new)
+    # a FRESH engine with the new params and the same session must agree —
+    # proves the cached vectors were re-embedded, not stale
+    eng2 = RankingInferenceEngine(cfg, new_params, max_seq_len=8)
+    eng2.update_session("u1", {cfg.sequence_features[0]: [3, 5, 7]})
+    p_ref = [r[t0] for r in eng2.score_session("u1", user, cands)]
+    np.testing.assert_allclose(p_new, p_ref, atol=1e-6)
