@@ -29,14 +29,26 @@ FEATURE_KEYS = ("video_id", "category", "tag", "duration", "timestamp")
 def _resolve_shard(
     num_shards: Optional[int], shard_id: Optional[int]
 ) -> Tuple[int, int]:
-    """Default the data shard to this host's jax process (multi-host DP)."""
-    if num_shards is None:
+    """Default the data shard to this host's jax process (multi-host DP).
+    Pass both or neither — a lone num_shards would silently feed every host
+    shard 0 and break data parallelism."""
+    if num_shards is None and shard_id is None:
         import jax
 
         num_shards = jax.process_count()
         shard_id = jax.process_index()
-    assert 0 <= (shard_id or 0) < num_shards
-    return num_shards, shard_id or 0
+    if (num_shards is None) != (shard_id is None):
+        raise ValueError("pass BOTH num_shards and shard_id, or neither")
+    assert 0 <= shard_id < num_shards, (shard_id, num_shards)
+    return num_shards, shard_id
+
+
+def _shard_slice(order: np.ndarray, num_shards: int, shard_id: int) -> np.ndarray:
+    """Disjoint per-shard stride, truncated to a COMMON length — every host
+    must yield the same number of batches per epoch or multi-host SPMD
+    training deadlocks at the first collective."""
+    per = len(order) // num_shards
+    return order[shard_id::num_shards][:per]
 
 
 def build_retrieval_examples(
@@ -113,7 +125,7 @@ def retrieval_batches(
             ex = np.asarray(examples, dtype=np.int64)
             epoch = 0
             while num_epochs is None or epoch < num_epochs:
-                order = rng.permutation(len(examples))[shard_id::num_shards]
+                order = _shard_slice(rng.permutation(len(examples)), num_shards, shard_id)
                 for i in range(0, len(order) - batch_size + 1, batch_size):
                     idx = order[i : i + batch_size]
                     b = fill_retrieval_batch(
@@ -126,7 +138,7 @@ def retrieval_batches(
 
     epoch = 0
     while num_epochs is None or epoch < num_epochs:
-        order = rng.permutation(len(examples))[shard_id::num_shards]
+        order = _shard_slice(rng.permutation(len(examples)), num_shards, shard_id)
         for i in range(0, len(order) - batch_size + 1, batch_size):
             idx = order[i : i + batch_size]
             hist = {k: np.zeros((batch_size, cfg.max_seq_len),
@@ -183,7 +195,7 @@ def ranking_batches(
     )
     epoch = 0
     while num_epochs is None or epoch < num_epochs:
-        order = rng.permutation(n)[shard_id::num_shards]
+        order = _shard_slice(rng.permutation(n), num_shards, shard_id)
         for i in range(0, len(order) - batch_size + 1, batch_size):
             idx = order[i : i + batch_size]
             seq_valid = {

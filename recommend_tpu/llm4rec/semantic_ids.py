@@ -26,7 +26,7 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-from recommend_tpu.ops.ivf import _kmeans, _l2_assign_scores
+from recommend_tpu.ops.ivf import _l2_assign_scores, kmeans_corpus
 
 
 @dataclass(frozen=True)
@@ -63,19 +63,12 @@ def build_semantic_ids(
     seed: int = 0,
     chunk: int = 65536,
 ) -> SemanticIdMap:
-    """Cluster the item-embedding matrix into semantic ids (jitted k-means)."""
-    items = jnp.asarray(item_embeddings)
-    v, d = items.shape
-    n_clusters = min(n_clusters, v)
-    chunk = min(chunk, max(128, 1 << (v - 1).bit_length()))
-    rng = np.random.default_rng(seed)
-    init = items[jnp.asarray(rng.choice(v, size=n_clusters, replace=False))]
-    pad_v = ((v + chunk - 1) // chunk) * chunk
-    items_p = jnp.pad(items, ((0, pad_v - v), (0, 0)))
-    centroids, assign_p = _kmeans(items_p, init, iters, chunk)
-    return SemanticIdMap(
-        centroids=centroids, item_to_sid=np.asarray(assign_p[:v], np.int32)
+    """Cluster the item-embedding matrix into semantic ids (jitted k-means,
+    shared with the IVF index — ops/ivf.kmeans_corpus)."""
+    centroids, assignments = kmeans_corpus(
+        item_embeddings, n_clusters, iters, seed, chunk
     )
+    return SemanticIdMap(centroids=centroids, item_to_sid=assignments)
 
 
 def remap_retrieval_data(data, sid_map: SemanticIdMap):

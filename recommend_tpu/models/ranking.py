@@ -332,6 +332,11 @@ class RankingModel(nn.Module):
         """Phase 1 (once per request): run the S trunk, returning per-layer
         (k_s, v_s, s_key_valid) — the cross-candidate KV cache
         (translation:144-151)."""
+        cfg = self.config
+        if not any(f in sequences for f in cfg.sequence_features):
+            # NS-only configs (Criteo): nothing to cache, every layer is a
+            # pure NS pass
+            return [None] * cfg.num_layers
         x, valid = self.tokenizer.s_tokens(sequences, seq_valid)
         return self._encode_s_trunk(x, valid)
 

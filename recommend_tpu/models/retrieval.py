@@ -169,6 +169,23 @@ class RetrievalTower(nn.Module):
         out = self.final_norm(x[:, t:])
         return out.reshape(b, t, k, d)
 
+    def interests_at_position(
+        self,
+        features: Dict[str, jax.Array],
+        valid: jax.Array,
+        position: jax.Array,  # [B] compressed-token index (0-based)
+        deterministic: bool = True,
+    ) -> jax.Array:
+        """Causal interests after one chosen prefix position → [B, k, D]
+        (kuaiformer `call_with_position`, model.py:502-526). One causal pass
+        + a gather — the single-position view of `all_position_interests`,
+        so it needs no extra masking machinery and is consistent with the
+        seq-to-seq training mode by construction."""
+        outs = self.all_position_interests(features, valid, deterministic)
+        return jnp.take_along_axis(
+            outs, position[:, None, None, None].astype(jnp.int32), axis=1
+        )[:, 0]
+
     def masked_position_outputs(
         self,
         features: Dict[str, jax.Array],

@@ -58,18 +58,20 @@ def _l2_assign_scores(x: jax.Array, centroids: jax.Array) -> jax.Array:
     return dots - half_sq[None, :]
 
 
-@functools.partial(jax.jit, static_argnums=(2, 3))
+@functools.partial(jax.jit, static_argnums=(2, 3, 4))
 def _kmeans(
-    items: jax.Array, init: jax.Array, iters: int, chunk: int
+    items: jax.Array, init: jax.Array, iters: int, chunk: int, n_valid: int
 ) -> Tuple[jax.Array, jax.Array]:
     """Lloyd's k-means → (centroids [C, D], assignments [V] int32).
 
-    `items` must already be padded to a multiple of `chunk`; padding rows are
-    zeros and get filtered by the caller.
+    `items` must already be padded to a multiple of `chunk`; only the first
+    ``n_valid`` rows participate in the centroid updates (padding rows would
+    otherwise drag the smallest-norm centroid toward the origin).
     """
     v, d = items.shape
     nc = init.shape[0]
     chunks = items.reshape(v // chunk, chunk, d)
+    valid = jnp.arange(v) < n_valid
 
     def assign(centroids: jax.Array) -> jax.Array:
         def one(block):
@@ -78,7 +80,8 @@ def _kmeans(
         return jax.lax.map(one, chunks).reshape(v).astype(jnp.int32)
 
     def step(centroids: jax.Array, _):
-        a = assign(centroids)
+        # padding rows get segment id == nc → dropped by segment_sum
+        a = jnp.where(valid, assign(centroids), nc)
         sums = jax.ops.segment_sum(
             items.astype(jnp.float32), a, num_segments=nc
         )
@@ -94,6 +97,29 @@ def _kmeans(
     return centroids, assign(centroids)
 
 
+def kmeans_corpus(
+    items: jax.Array | np.ndarray,
+    n_clusters: int,
+    iters: int = 10,
+    seed: int = 0,
+    chunk: int = 65536,
+) -> Tuple[jax.Array, np.ndarray]:
+    """Cluster a [V, D] matrix → (centroids [C, D], assignments [V] int32).
+    The shared clustering front-end of the IVF index and the LLM4Rec
+    semantic-ID pipeline: clamp n_clusters, pick a random init, pad to the
+    chunk size (padding excluded from centroid math), run jitted Lloyd's."""
+    items = jnp.asarray(items)
+    v, d = items.shape
+    n_clusters = min(n_clusters, v)
+    chunk = min(chunk, max(128, 1 << (v - 1).bit_length()))
+    rng = np.random.default_rng(seed)
+    init = items[jnp.asarray(rng.choice(v, size=n_clusters, replace=False))]
+    pad_v = ((v + chunk - 1) // chunk) * chunk
+    items_p = jnp.pad(items, ((0, pad_v - v), (0, 0)))
+    centroids, assign_p = _kmeans(items_p, init, iters, chunk, v)
+    return centroids, np.asarray(assign_p[:v], np.int32)
+
+
 def build_ivf(
     items: jax.Array | np.ndarray,
     n_clusters: int = 1024,
@@ -107,14 +133,7 @@ def build_ivf(
     items = jnp.asarray(items)
     v, d = items.shape
     n_clusters = min(n_clusters, v)
-    chunk = min(chunk, max(128, 1 << (v - 1).bit_length()))
-    rng = np.random.default_rng(seed)
-    init = items[jnp.asarray(rng.choice(v, size=n_clusters, replace=False))]
-
-    pad_v = ((v + chunk - 1) // chunk) * chunk
-    items_p = jnp.pad(items, ((0, pad_v - v), (0, 0)))
-    centroids, assign_p = _kmeans(items_p, init, iters, chunk)
-    assignments = np.asarray(assign_p[:v])
+    centroids, assignments = kmeans_corpus(items, n_clusters, iters, seed, chunk)
 
     counts = np.bincount(assignments, minlength=n_clusters)
     cap = int(counts.max()) if capacity is None else int(capacity)

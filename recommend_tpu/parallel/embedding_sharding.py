@@ -120,6 +120,11 @@ def sharded_lookup_a2a(
     )
     def _lookup(local_table, local_ids):
         shard = jax.lax.axis_index(axis)
+        # negative ids are invalid like ids >= v: fold them into the v
+        # sentinel up front so they sort to the tail with the other invalids
+        # (a raw -1 would otherwise wrap into request row n-1 and clobber a
+        # legitimate slot)
+        local_ids = jnp.where(local_ids < 0, v, local_ids)
         # 1. sort + dedup
         order = jnp.argsort(local_ids)
         sids = jnp.take(local_ids, order)

@@ -38,6 +38,8 @@ from recommend_tpu.ops.topk import (
     topk_retrieval_quantized,
 )
 
+_quantize = jax.jit(quantize_corpus)  # one wrapper → trace cache is reused
+
 
 class RetrievalIndex:
     """Corpus item-embedding matrix + top-k search (the FAISS replacement).
@@ -93,7 +95,9 @@ class RetrievalIndex:
 
     def build(self, corpus_features: Dict[str, np.ndarray]) -> None:
         """Embed every corpus item in batches (reference :28-44)."""
-        self._last_corpus = corpus_features
+        # keep a mutable copy so update_items can fold deltas in and
+        # refresh() re-embeds the LIVE corpus, not a stale snapshot
+        self._last_corpus = {k: np.array(v) for k, v in corpus_features.items()}
         v = len(corpus_features["video_id"])
         outs = []
         bs = self.embed_batch
@@ -105,9 +109,7 @@ class RetrievalIndex:
             outs.append(self._embed_fn(self.params, chunk))
         self.item_embeddings = jnp.concatenate(outs, axis=0)
         if self.quantize == "int8":
-            self.q_items, self.q_scales = jax.jit(quantize_corpus)(
-                self.item_embeddings
-            )
+            self.q_items, self.q_scales = _quantize(self.item_embeddings)
         if self.index_type == "ivf":
             self.ivf_index = build_ivf(
                 self.item_embeddings,
@@ -123,27 +125,61 @@ class RetrievalIndex:
         ``item_features["video_id"]`` selects the rows; ids may exceed the
         current corpus size by appearing exactly at the end (append).
 
-        IVF note: cluster assignment for updated rows is NOT revisited;
-        centroids drift slowly, so periodic `build()` refreshes remain the
-        rebalance mechanism (same as FAISS IVF in production)."""
+        IVF: updated embeddings of EXISTING ids are written into their
+        current buckets in place (cluster assignment is not revisited —
+        centroids drift slowly; periodic `build()` rebalances, same as FAISS
+        IVF in production). Appending NEW ids to an IVF index requires a
+        `build()` and raises."""
         assert self.item_embeddings is not None, "call build() first"
         ids = np.asarray(item_features["video_id"], np.int64)
         chunk = {k: jnp.asarray(item_features[k]) for k in FEATURE_KEYS}
         rows = self._embed_fn(self.params, chunk)
         v = self.item_embeddings.shape[0]
         if ids.max() >= v:  # append-grow
+            if self.ivf_index is not None:
+                raise ValueError(
+                    "appending new ids to an IVF index requires build(); "
+                    "update_items only refreshes existing rows in place"
+                )
             grow = int(ids.max()) + 1 - v
             self.item_embeddings = jnp.concatenate(
                 [self.item_embeddings, jnp.zeros((grow, rows.shape[1]), rows.dtype)]
             )
         self.item_embeddings = self.item_embeddings.at[jnp.asarray(ids)].set(rows)
         if self.quantize == "int8":
-            self.q_items, self.q_scales = jax.jit(quantize_corpus)(
-                self.item_embeddings
-            ) if ids.size > v // 4 else self._update_quantized(ids, rows)
+            self.q_items, self.q_scales = (
+                _quantize(self.item_embeddings)
+                if ids.size > v // 4 else self._update_quantized(ids, rows)
+            )
+        if self.ivf_index is not None:
+            # write updated rows into their bucket slots (served matrix)
+            bids = np.asarray(self.ivf_index.bucket_ids)
+            embs = np.array(self.ivf_index.bucket_embs)  # writable copy
+            pos_of = {int(i): None for i in ids}
+            hit = np.isin(bids, ids)
+            for c, slot in np.argwhere(hit):
+                pos_of[int(bids[c, slot])] = (c, slot)
+            rows_np = np.asarray(rows)
+            for j, i in enumerate(ids):
+                cs = pos_of.get(int(i))
+                if cs is not None:
+                    embs[cs[0], cs[1]] = rows_np[j]
+            self.ivf_index = self.ivf_index._replace(
+                bucket_embs=jnp.asarray(embs)
+            )
+        if self._last_corpus is not None:
+            cur = len(self._last_corpus["video_id"])
+            need = int(ids.max()) + 1
+            for k in FEATURE_KEYS:
+                col = self._last_corpus[k]
+                if need > cur:
+                    pad = np.zeros(need - cur, dtype=col.dtype)
+                    col = np.concatenate([col, pad])
+                col[ids] = np.asarray(item_features[k])
+                self._last_corpus[k] = col
 
     def _update_quantized(self, ids, rows):
-        q_rows, s_rows = quantize_corpus(rows)
+        q_rows, s_rows = _quantize(rows)
         v = self.q_items.shape[0]
         if int(np.max(ids)) >= v:
             grow = int(np.max(ids)) + 1 - v

@@ -280,3 +280,26 @@ def test_pipeline_process_sharding_partitions_epoch():
         for s in range(2)
     ]
     assert sum(per_shard) in (full, full - 1, full - 2)  # drop-remainder slack
+
+
+def test_pipeline_shards_have_equal_batch_counts():
+    """Uneven N: every shard must yield the SAME number of batches per epoch
+    (differing counts deadlock multi-host SPMD at the first collective), and
+    a lone num_shards without shard_id must be rejected."""
+    import pytest
+
+    from recommend_tpu import get_config
+    from recommend_tpu.data.pipeline import ranking_batches
+    from recommend_tpu.data.synthetic import make_ranking_data
+
+    cfg = get_config("ranking_small", batch_size=8)
+    # 67 samples over 4 shards: stride slices would give 17/17/17/16
+    data = make_ranking_data(cfg, num_samples=67, max_seq_per_feature=8, seed=0)
+    counts = [
+        sum(1 for _ in ranking_batches(data, cfg, 8, seed=1, num_epochs=1,
+                                       num_shards=4, shard_id=s))
+        for s in range(4)
+    ]
+    assert len(set(counts)) == 1, counts
+    with pytest.raises(ValueError):
+        next(ranking_batches(data, cfg, 8, num_shards=4))

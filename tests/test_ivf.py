@@ -113,3 +113,22 @@ def test_kmeans_handles_duplicate_points():
     assert len(np.unique(ids[ids >= 0])) == 64
     s, i = ivf_search(idx, jnp.asarray(items[:2]), k=4, nprobe=8)
     assert np.all(np.asarray(i) >= 0)
+
+
+def test_kmeans_padding_rows_do_not_drag_centroids():
+    """Padding rows (zeros) must not participate in centroid updates — with
+    small chunks most of the padded matrix is zeros and an unmasked Lloyd's
+    would drag one centroid to the origin."""
+    from recommend_tpu.ops.ivf import kmeans_corpus
+
+    rng = np.random.default_rng(0)
+    K, D = 4, 16
+    centers = rng.normal(size=(K, D)) * 10 + 20  # all far from the origin
+    true = rng.integers(0, K, 130)
+    emb = (centers[true] + rng.normal(size=(130, D)) * 0.05).astype(np.float32)
+    # chunk=128 → pads to 256: 126 zero rows (~half the matrix)
+    cents, assign = kmeans_corpus(emb, n_clusters=K, iters=10, seed=2, chunk=128)
+    norms = np.linalg.norm(np.asarray(cents), axis=1)
+    true_norms = np.linalg.norm(centers, axis=1)
+    assert norms.min() > 0.5 * true_norms.min(), norms
+    assert len(assign) == 130

@@ -263,3 +263,25 @@ def test_column_sharded_lookup_gradient(devices):
     for i, row in zip(ids, w):
         expected[i] += row
     np.testing.assert_allclose(g, expected, rtol=1e-5, atol=1e-6)
+
+
+def test_a2a_lookup_negative_ids_are_zero_rows(devices):
+    """Negative ids are invalid like ids >= V — they must return zero rows
+    and must NOT corrupt other positions (a raw -1 would wrap into request
+    row n-1)."""
+    from recommend_tpu.parallel.embedding_sharding import (
+        shard_table,
+        sharded_lookup_a2a,
+    )
+    from jax.sharding import NamedSharding, PartitionSpec as P
+
+    mesh = make_mesh(data=1, model=8)
+    rng = np.random.default_rng(6)
+    V, D = 64, 8
+    table = rng.normal(size=(V, D)).astype(np.float32)
+    ids = np.array([5, -1, 60, -7, 0, 63, 12, 12] * 2)
+    ts = shard_table(mesh, jnp.asarray(table), "model")
+    idv = jax.device_put(jnp.asarray(ids), NamedSharding(mesh, P("model")))
+    out = np.asarray(sharded_lookup_a2a(mesh, ts, idv, "model"))
+    expected = np.where((ids >= 0)[:, None], table[np.maximum(ids, 0)], 0.0)
+    np.testing.assert_allclose(out, expected, rtol=1e-6)

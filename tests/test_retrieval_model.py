@@ -72,3 +72,22 @@ def test_item_embeddings(small_setup):
     tgt = {k: jnp.asarray(v) for k, v in batch["target"].items()}
     emb = model.apply(params, tgt, method=RetrievalTower.item_embeddings)
     assert emb.shape == (4, cfg.embed_dim)
+
+
+def test_interests_at_position_slices_all_positions(small_setup):
+    """Single-position causal variant (kuaiformer call_with_position,
+    model.py:502-526): must equal the seq-to-seq mode sliced at that
+    position."""
+    cfg, model, params, feats, valid, _ = small_setup
+    outs = model.apply(
+        params, feats, valid, method=RetrievalTower.all_position_interests
+    )
+    t = outs.shape[1]
+    pos = jnp.asarray([0, 1, t - 1, t // 2])
+    single = model.apply(
+        params, feats, valid, pos,
+        method=RetrievalTower.interests_at_position,
+    )
+    assert single.shape == (4, cfg.num_query_tokens, cfg.embed_dim)
+    expected = np.stack([np.asarray(outs)[b, int(p)] for b, p in enumerate(pos)])
+    np.testing.assert_allclose(np.asarray(single), expected, atol=1e-6)

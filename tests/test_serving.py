@@ -260,3 +260,71 @@ def test_ranking_engine_reload_refreshes_sessions(ranking_engine):
     eng2.update_session("u1", {cfg.sequence_features[0]: [3, 5, 7]})
     p_ref = [r[t0] for r in eng2.score_session("u1", user, cands)]
     np.testing.assert_allclose(p_new, p_ref, atol=1e-6)
+
+
+def test_retrieval_index_refresh_keeps_appended_items(retrieval_setup):
+    """refresh() must re-embed the LIVE corpus including rows appended via
+    update_items — not a stale build-time snapshot."""
+    cfg, model, params, data = retrieval_setup
+    index = RetrievalIndex(cfg, model, params, embed_batch=64)
+    corpus = data.corpus_features()
+    index.build(corpus)
+    v = len(corpus["video_id"])
+    new = {k: np.array(v_[:3]) for k, v_ in corpus.items()}
+    new["video_id"] = np.arange(v, v + 3, dtype=corpus["video_id"].dtype)
+    index.update_items(new)
+    assert index.item_embeddings.shape[0] == v + 3
+    index.refresh(jax.tree_util.tree_map(lambda p: p * 1.1, params))
+    assert index.item_embeddings.shape[0] == v + 3  # appended rows survive
+
+
+def test_retrieval_index_ivf_update_items_in_place(retrieval_setup):
+    """IVF: update_items must refresh the SERVED bucket embeddings for
+    existing ids, and refuse appends (rebuild required)."""
+    import pytest
+
+    cfg, model, params, data = retrieval_setup
+    index = RetrievalIndex(
+        cfg, model, params, embed_batch=64, index_type="ivf",
+        ivf_clusters=8, ivf_nprobe=8,
+    )
+    corpus = data.corpus_features()
+    index.build(corpus)
+    before = np.asarray(index.ivf_index.bucket_embs).copy()
+    upd = {k: np.array(v[7:9]) for k, v in corpus.items()}
+    upd["category"] = (upd["category"] + 5) % cfg.category_vocab_size
+    index.update_items(upd)
+    after = np.asarray(index.ivf_index.bucket_embs)
+    bids = np.asarray(index.ivf_index.bucket_ids)
+    changed = np.isin(bids, upd["video_id"])
+    assert changed.any()
+    assert not np.allclose(after[changed], before[changed])
+    mask = ~changed
+    np.testing.assert_allclose(after[mask], before[mask])
+    v = len(corpus["video_id"])
+    new = {k: np.array(v_[:1]) for k, v_ in corpus.items()}
+    new["video_id"] = np.array([v], dtype=corpus["video_id"].dtype)
+    with pytest.raises(ValueError):
+        index.update_items(new)
+
+
+def test_ns_only_kv_cache_path():
+    """encode_s/score_with_cache must work on NS-only (Criteo) configs and
+    match the full forward."""
+    from recommend_tpu.data.datasets import criteo_ranking_config
+    from recommend_tpu.models.ranking import RankingModel
+
+    cfg = criteo_ranking_config(
+        cat_vocab=64, num_buckets=8, embed_dim=32, num_layers=2, num_heads=1,
+        ffn_dim=64, num_ns_tokens=4, pyramid_ratios=(1.0, 1.0),
+        use_mixed_precision=False,
+    )
+    model = RankingModel(cfg)
+    rng = np.random.default_rng(0)
+    ns = {f: jnp.asarray(rng.integers(0, cfg.vocab_size(f), 6)) for f in cfg.non_seq_features}
+    params = jax.jit(model.init)(jax.random.key(0), ns, {}, {})
+    full = model.apply(params, ns, {}, {})
+    cache = model.apply(params, {}, {}, method=RankingModel.encode_s)
+    cached = model.apply(params, cache, ns, method=RankingModel.score_with_cache)
+    for t in full:
+        np.testing.assert_allclose(full[t], cached[t], atol=1e-6)
