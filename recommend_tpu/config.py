@@ -107,6 +107,9 @@ class RetrievalConfig:
     # Dense AdamW remains for everything else (incl. the small bucket tables).
     use_sparse_embedding_updates: bool = False
     sparse_embedding_lr: float = 0.05
+    # "exact" (dedup + per-coordinate adagrad, optax-parity) or "rowwise"
+    # (no-sort scatter, one accumulator scalar per row — production default)
+    sparse_update_mode: str = "exact"
 
     def schedule_specs(self) -> List[CompressionGroupSpec]:
         return [CompressionGroupSpec(l, g) for l, g in self.compression_schedule]

@@ -230,8 +230,41 @@ class RetrievalTrainer:
         else:
             loss_fn = single_loss
 
-        def apply_sparse_updates(params, accums, dummy_grads, batch, dropout_rng):
-            from recommend_tpu.ops.sparse_embed import sparse_update_table
+        # id-embedding tables are split OUT of the differentiated/optimized
+        # tree (same treatment as the ranking trainer): otherwise jax.grad
+        # materializes full-size zero cotangents for them and apply_updates
+        # streams the whole table through an add-zero pass — profiled at
+        # ~32 ms/step of pure [10M,128] table copies on the flagship config.
+        def split_tables(params):
+            inner = dict(params["params"])
+            emb = dict(inner["embed"])
+            tables = {
+                k: emb.pop(k)["embedding"] for k in SPARSE_TABLES if k in emb
+            }
+            inner["embed"] = emb
+            return {**params, "params": inner}, tables
+
+        def merge_tables(dense_params, tables):
+            inner = dict(dense_params["params"])
+            emb = dict(inner.get("embed", {}))
+            for k, t in tables.items():
+                emb[k] = {"embedding": t}
+            inner["embed"] = emb
+            return {**dense_params, "params": inner}
+
+        self._split_tables = split_tables
+        self._merge_tables = merge_tables
+
+        def apply_sparse_updates(tables, accums, dummy_grads, batch, dropout_rng):
+            from recommend_tpu.ops.sparse_embed import (
+                sparse_rowwise_update_table,
+                sparse_update_table,
+            )
+
+            update = (
+                sparse_rowwise_update_table
+                if cfg.sparse_update_mode == "rowwise" else sparse_update_table
+            )
 
             if self.mode == "seq2seq":
                 tgt_feats = _seq2seq_next_feats(batch)
@@ -245,7 +278,7 @@ class RetrievalTrainer:
                 }
             else:
                 tgt_feats = batch["target"]
-            emb = dict(params["params"]["embed"])
+            new_tables = dict(tables)
             new_accums = dict(accums)
             for name in SPARSE_TABLES:
                 ids = jnp.concatenate(
@@ -260,32 +293,39 @@ class RetrievalTrainer:
                         dummy_grads["tgt"][name].reshape(-1, cfg.embed_dim),
                     ]
                 )
-                table, accum = sparse_update_table(
-                    emb[name]["embedding"], accums[name], ids, g,
+                table, accum = update(
+                    tables[name], accums[name], ids, g,
                     cfg.sparse_embedding_lr,
                 )
-                emb[name] = {**emb[name], "embedding": table}
+                new_tables[name] = table
                 new_accums[name] = accum
-            new_params = dict(params)
-            inner = dict(new_params["params"])
-            inner["embed"] = {**params["params"]["embed"], **emb}
-            new_params["params"] = inner
-            return new_params, new_accums
+            return new_tables, new_accums
 
         @partial(jax.jit, donate_argnums=(0,))
         def train_step(state: TrainState, batch, rng) -> tuple:
             dropout_rng = jax.random.fold_in(rng, state.step)
             if sparse:
                 optax_state, accums = state.opt_state
+                dense_params, tables = split_tables(state.params)
+
+                def sparse_loss(dense_params, dummies):
+                    return loss_fn(
+                        merge_tables(dense_params, tables), dummies, batch,
+                        dropout_rng,
+                    )
+
                 dummies = make_dummies(batch)
                 (grads, dgrads), metrics = jax.grad(
-                    loss_fn, argnums=(0, 1), has_aux=True
-                )(state.params, dummies, batch, dropout_rng)
+                    sparse_loss, argnums=(0, 1), has_aux=True
+                )(dense_params, dummies)
                 updates, optax_state = self.optimizer.update(
-                    grads, optax_state, state.params
+                    grads, optax_state, dense_params
                 )
-                params = optax.apply_updates(state.params, updates)
-                params, accums = apply_sparse_updates(params, accums, dgrads, batch, dropout_rng)
+                dense_params = optax.apply_updates(dense_params, updates)
+                tables, accums = apply_sparse_updates(
+                    tables, accums, dgrads, batch, dropout_rng
+                )
+                params = merge_tables(dense_params, tables)
                 metrics["grad_norm"] = optax.global_norm(grads)
                 return (
                     TrainState(params, (optax_state, accums), state.step + 1),
@@ -339,21 +379,39 @@ class RetrievalTrainer:
             params = jax.jit(self.model.init, out_shardings=pshard)(
                 rng, batch["history"], batch["history_valid"]
             )
+            opt_params = (
+                self._split_tables(params)[0]
+                if self.cfg.use_sparse_embedding_updates else params
+            )
             # optimizer buffers inherit the param shardings via GSPMD propagation
-            opt_state = jax.jit(self.optimizer.init)(params)
+            opt_state = jax.jit(self.optimizer.init)(opt_params)
         else:
             params = jax.jit(self.model.init)(
                 rng, batch["history"], batch["history_valid"]
             )
-            opt_state = self.optimizer.init(params)
+            opt_params = (
+                self._split_tables(params)[0]
+                if self.cfg.use_sparse_embedding_updates else params
+            )
+            opt_state = self.optimizer.init(opt_params)
         if self.cfg.use_sparse_embedding_updates:
             from recommend_tpu.ops.embedding import SPARSE_TABLES
 
             emb = params["params"]["embed"]
-            accums = {
-                name: jnp.full_like(emb[name]["embedding"], 0.1, dtype=jnp.float32)
-                for name in SPARSE_TABLES
-            }
+            if self.cfg.sparse_update_mode == "rowwise":
+                accums = {
+                    name: jnp.full(
+                        emb[name]["embedding"].shape[:1], 0.1, jnp.float32
+                    )
+                    for name in SPARSE_TABLES
+                }
+            else:
+                accums = {
+                    name: jnp.full_like(
+                        emb[name]["embedding"], 0.1, dtype=jnp.float32
+                    )
+                    for name in SPARSE_TABLES
+                }
             opt_state = (opt_state, accums)
         state = TrainState(params, opt_state, jnp.zeros((), jnp.int32))
         if self.ckpt is not None:
