@@ -86,8 +86,15 @@ def sparse_adagrad_apply(
     update = g·rsqrt(accum+eps) gated on accum > 0; pair with accumulators
     initialized to optax's default 0.1)."""
     # `unique_ids` is ascending (dedup_sum emits segments in sorted-id order,
-    # padding slots == vocab at the tail) — the sorted/unique scatter hints
-    # let XLA vectorize the row updates (~10× on TPU vs an unhinted scatter).
+    # padding slots == vocab at the tail). The sorted/unique scatter hints
+    # pick a vectorized emitter that wins at moderate table sizes but whose
+    # cost grows with V: measured 8.2 vs 11.1 ms (hinted vs plain, 66k rows)
+    # at V=1M, 36.3 vs 24.9 ms at V=10M. Gate them on table size; dropping
+    # the hints is always semantically safe (ids really are sorted+unique).
+    hints = (
+        dict(indices_are_sorted=True, unique_indices=True)
+        if table.shape[0] <= 4_000_000 else {}
+    )
     safe = jnp.minimum(unique_ids, table.shape[0] - 1)
     pad = (unique_ids >= table.shape[0])[:, None]
     g = jnp.where(pad, 0.0, row_grads.astype(jnp.float32))
@@ -98,13 +105,12 @@ def sparse_adagrad_apply(
         acc_rows > 0, jax.lax.rsqrt(acc_rows + eps), 0.0
     )
     new_table = table.at[unique_ids].add(
-        -delta.astype(table.dtype), mode="drop",
-        indices_are_sorted=True, unique_indices=True,
+        -delta.astype(table.dtype), mode="drop", **hints
     )
     new_accum = accum.at[unique_ids].set(
         jnp.where(pad, accum.at[safe].get(indices_are_sorted=True)
                   .astype(jnp.float32), acc_rows).astype(accum.dtype),
-        mode="drop", indices_are_sorted=True, unique_indices=True,
+        mode="drop", **hints
     )
     return new_table, new_accum
 
