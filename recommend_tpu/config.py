@@ -201,6 +201,10 @@ class RankingConfig:
     sparse_update_mode: str = "exact"
     param_dtype: str = "float32"
     compute_dtype: str = "bfloat16"
+    # storage dtype of the big id-embedding tables (gathers/scatters are
+    # HBM-bound; bf16 halves their traffic). f32 default = exact optimizer
+    # semantics; bf16 rounds each sparse update to 8 mantissa bits.
+    embedding_table_dtype: str = "float32"
 
     def __post_init__(self):
         assert len(self.pyramid_ratios) == self.num_layers, (

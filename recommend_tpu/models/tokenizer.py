@@ -33,13 +33,14 @@ class UnifiedTokenizer(nn.Module):
     def setup(self):
         cfg = self.config
         pdt = jnp.dtype(cfg.param_dtype)
+        tdt = jnp.dtype(getattr(cfg, "embedding_table_dtype", "float32"))
         cdt = jnp.dtype(cfg.active_compute_dtype)
         self._embeds = {
             f: nn.Embed(
                 cfg.vocab_size(f),
                 cfg.feature_embed_dim,
                 name=f"embed_{f}",
-                param_dtype=pdt,
+                param_dtype=tdt,
                 dtype=cdt,
                 embedding_init=nn.initializers.normal(stddev=0.02),
             )
@@ -49,7 +50,7 @@ class UnifiedTokenizer(nn.Module):
             cfg.vocab_size("item_id"),
             cfg.seq_item_feature_dim,
             name="embed_seq_item",
-            param_dtype=pdt,
+            param_dtype=tdt,
             dtype=cdt,
             embedding_init=nn.initializers.normal(stddev=0.02),
         )
