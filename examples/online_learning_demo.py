@@ -36,6 +36,12 @@ def main():
     p.add_argument("--model_dir", default="/tmp/recommend_tpu/online_demo")
     args = p.parse_args()
 
+    import shutil
+
+    # a fresh dir per run: a stale checkpoint would auto-restore past
+    # num_steps (silently skipping training) or crash on a shape mismatch
+    shutil.rmtree(args.model_dir, ignore_errors=True)
+
     from recommend_tpu import get_config
     from recommend_tpu.data.pipeline import retrieval_batches
     from recommend_tpu.data.synthetic import make_retrieval_data

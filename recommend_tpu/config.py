@@ -122,6 +122,9 @@ class RetrievalConfig:
         assert sum(l for l, _ in self.compression_schedule) == self.max_seq_len, (
             "compression schedule must cover max_seq_len exactly"
         )
+        assert self.sparse_update_mode in ("exact", "rowwise"), (
+            self.sparse_update_mode
+        )
         assert self.embed_dim % self.num_heads == 0
 
     to_dict = _asdict
@@ -211,6 +214,9 @@ class RankingConfig:
             "one pyramid keep-ratio per layer"
         )
         assert self.embed_dim % self.num_heads == 0
+        assert self.sparse_update_mode in ("exact", "rowwise"), (
+            self.sparse_update_mode
+        )
 
     def vocab_size(self, feature: str) -> int:
         return dict(self.feature_vocab_sizes)[feature]

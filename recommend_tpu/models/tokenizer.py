@@ -33,7 +33,7 @@ class UnifiedTokenizer(nn.Module):
     def setup(self):
         cfg = self.config
         pdt = jnp.dtype(cfg.param_dtype)
-        tdt = jnp.dtype(getattr(cfg, "embedding_table_dtype", "float32"))
+        tdt = jnp.dtype(cfg.embedding_table_dtype)
         cdt = jnp.dtype(cfg.active_compute_dtype)
         self._embeds = {
             f: nn.Embed(

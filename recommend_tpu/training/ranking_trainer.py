@@ -262,7 +262,15 @@ class RankingTrainer:
             opt_state = (opt_state, accums)
         state = TrainState(params, opt_state, jnp.zeros((), jnp.int32))
         if self.ckpt is not None:
-            restored = self.ckpt.restore(params, opt_state)
+            try:
+                restored = self.ckpt.restore(params, opt_state)
+            except Exception as e:  # noqa: BLE001 — orbax raises various types
+                raise RuntimeError(
+                    "checkpoint restore failed — the directory holds a state "
+                    "layout incompatible with this config (different "
+                    "sparse_update_mode, vocab sizes, or optimizer layout). "
+                    "Point at a fresh checkpoint_dir or retrain."
+                ) from e
             if restored is not None:
                 step, params, opt_state = restored
                 state = TrainState(params, opt_state, jnp.asarray(step, jnp.int32))

@@ -379,21 +379,16 @@ class RetrievalTrainer:
             params = jax.jit(self.model.init, out_shardings=pshard)(
                 rng, batch["history"], batch["history_valid"]
             )
-            opt_params = (
-                self._split_tables(params)[0]
-                if self.cfg.use_sparse_embedding_updates else params
-            )
-            # optimizer buffers inherit the param shardings via GSPMD propagation
-            opt_state = jax.jit(self.optimizer.init)(opt_params)
         else:
             params = jax.jit(self.model.init)(
                 rng, batch["history"], batch["history_valid"]
             )
-            opt_params = (
-                self._split_tables(params)[0]
-                if self.cfg.use_sparse_embedding_updates else params
-            )
-            opt_state = self.optimizer.init(opt_params)
+        opt_params = (
+            self._split_tables(params)[0]
+            if self.cfg.use_sparse_embedding_updates else params
+        )
+        # optimizer buffers inherit the param shardings via GSPMD propagation
+        opt_state = jax.jit(self.optimizer.init)(opt_params)
         if self.cfg.use_sparse_embedding_updates:
             from recommend_tpu.ops.embedding import SPARSE_TABLES
 
@@ -415,7 +410,16 @@ class RetrievalTrainer:
             opt_state = (opt_state, accums)
         state = TrainState(params, opt_state, jnp.zeros((), jnp.int32))
         if self.ckpt is not None:
-            restored = self.ckpt.restore(params, opt_state)
+            try:
+                restored = self.ckpt.restore(params, opt_state)
+            except Exception as e:  # noqa: BLE001 — orbax raises various types
+                raise RuntimeError(
+                    "checkpoint restore failed — the directory holds a state "
+                    "layout incompatible with this config (e.g. written "
+                    "before the sparse-table split, with a different "
+                    "sparse_update_mode, or different vocab sizes). Point at "
+                    "a fresh checkpoint_dir or retrain."
+                ) from e
             if restored is not None:
                 step, params, opt_state = restored
                 state = TrainState(params, opt_state, jnp.asarray(step, jnp.int32))

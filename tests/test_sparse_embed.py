@@ -272,3 +272,47 @@ def test_ranking_trainer_rowwise_mode_trains():
         losses.append(float(m["loss"]))
     assert np.isfinite(losses[-1])
     assert losses[-1] < losses[0]  # tables actually learn
+
+
+def test_retrieval_trainer_rowwise_mode():
+    """RetrievalConfig.sparse_update_mode='rowwise' (the flagship production
+    default): [V] accumulators, trains, loss falls, checkpoint roundtrip."""
+    import jax
+
+    from recommend_tpu.config import get_config
+    from recommend_tpu.data.pipeline import retrieval_batches
+    from recommend_tpu.data.synthetic import make_retrieval_data
+    from recommend_tpu.ops.embedding import SPARSE_TABLES
+    from recommend_tpu.training.trainer import RetrievalTrainer
+
+    cfg = get_config(
+        "retrieval_small", batch_size=16, warmup_steps=2,
+        compute_dtype="float32",
+        use_sparse_embedding_updates=True, sparse_update_mode="rowwise",
+    )
+    data = make_retrieval_data(cfg, num_users=40, num_videos=300, seed=0)
+    tr = RetrievalTrainer(cfg, total_steps=20)
+    it = retrieval_batches(data, cfg, batch_size=16, seed=0)
+    first = next(it)
+    state = tr.init_state(jax.random.key(0), first)
+    _, accums = state.opt_state
+    for name in SPARSE_TABLES:
+        assert accums[name].ndim == 1  # one scalar per row
+    losses = []
+    batch = first
+    for _ in range(15):
+        state, m = tr._train_step(state, tr._put_batch(batch), jax.random.key(1))
+        losses.append(float(m["loss"]))
+        batch = next(it)
+    assert losses[-1] < losses[0]
+
+
+def test_invalid_sparse_update_mode_rejected():
+    import pytest
+
+    from recommend_tpu.config import get_config
+
+    with pytest.raises(AssertionError):
+        get_config("retrieval_small", sparse_update_mode="row-wise")
+    with pytest.raises(AssertionError):
+        get_config("ranking_small", sparse_update_mode="ROWWISE")
