@@ -115,6 +115,7 @@ class RetrievalIndex:
                 self.item_embeddings,
                 n_clusters=self.ivf_clusters,
                 iters=self.ivf_iters,
+                quantize=self.quantize,
             )
 
     def update_items(self, item_features: Dict[str, np.ndarray]) -> None:
@@ -155,17 +156,32 @@ class RetrievalIndex:
             # write updated rows into their bucket slots (served matrix)
             bids = np.asarray(self.ivf_index.bucket_ids)
             embs = np.array(self.ivf_index.bucket_embs)  # writable copy
+            scales = (
+                np.array(self.ivf_index.bucket_scales)
+                if self.ivf_index.bucket_scales is not None else None
+            )
             pos_of = {int(i): None for i in ids}
             hit = np.isin(bids, ids)
             for c, slot in np.argwhere(hit):
                 pos_of[int(bids[c, slot])] = (c, slot)
-            rows_np = np.asarray(rows)
+            rows_np = np.asarray(rows, np.float32)
+            if scales is not None:
+                q_rows, s_rows = _quantize(jnp.asarray(rows_np))
+                q_rows, s_rows = np.asarray(q_rows), np.asarray(s_rows)
             for j, i in enumerate(ids):
                 cs = pos_of.get(int(i))
-                if cs is not None:
+                if cs is None:
+                    continue
+                if scales is not None:
+                    embs[cs[0], cs[1]] = q_rows[j]
+                    scales[cs[0], cs[1]] = s_rows[j]
+                else:
                     embs[cs[0], cs[1]] = rows_np[j]
             self.ivf_index = self.ivf_index._replace(
-                bucket_embs=jnp.asarray(embs)
+                bucket_embs=jnp.asarray(embs),
+                bucket_scales=(
+                    jnp.asarray(scales) if scales is not None else None
+                ),
             )
         if self._last_corpus is not None:
             cur = len(self._last_corpus["video_id"])

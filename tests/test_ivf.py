@@ -132,3 +132,24 @@ def test_kmeans_padding_rows_do_not_drag_centroids():
     true_norms = np.linalg.norm(centers, axis=1)
     assert norms.min() > 0.5 * true_norms.min(), norms
     assert len(assign) == 130
+
+
+def test_ivf_int8_matches_f32():
+    """int8 bucket embeddings: same probe set, near-identical ranking."""
+    from recommend_tpu.ops.ivf import build_ivf, ivf_search
+
+    rng = np.random.default_rng(3)
+    V, D = 3000, 32
+    items = rng.normal(size=(V, D)).astype(np.float32)
+    q = jnp.asarray(rng.normal(size=(6, D)).astype(np.float32))
+    f32 = build_ivf(items, n_clusters=32, iters=6, seed=0)
+    i8 = build_ivf(items, n_clusters=32, iters=6, seed=0, quantize="int8")
+    assert i8.bucket_embs.dtype == jnp.int8
+    assert i8.bucket_scales.shape == i8.bucket_ids.shape
+    _, ref = ivf_search(f32, q, 50, nprobe=8)
+    _, got = ivf_search(i8, q, 50, nprobe=8)
+    overlap = np.mean([
+        len(set(np.asarray(ref[b]).tolist()) & set(np.asarray(got[b]).tolist())) / 50
+        for b in range(6)
+    ])
+    assert overlap >= 0.9, overlap

@@ -328,3 +328,31 @@ def test_ns_only_kv_cache_path():
     cached = model.apply(params, cache, ns, method=RankingModel.score_with_cache)
     for t in full:
         np.testing.assert_allclose(full[t], cached[t], atol=1e-6)
+
+
+def test_retrieval_index_ivf_int8_update_items(retrieval_setup):
+    """IVF + int8: update_items must re-quantize the touched bucket slots."""
+    cfg, model, params, data = retrieval_setup
+    index = RetrievalIndex(
+        cfg, model, params, embed_batch=64, index_type="ivf",
+        ivf_clusters=8, ivf_nprobe=8, quantize="int8",
+    )
+    corpus = data.corpus_features()
+    index.build(corpus)
+    assert index.ivf_index.bucket_scales is not None
+    before = np.asarray(index.ivf_index.bucket_embs).copy()
+    upd = {k: np.array(v[3:5]) for k, v in corpus.items()}
+    upd["category"] = (upd["category"] + 7) % cfg.category_vocab_size
+    index.update_items(upd)
+    after = np.asarray(index.ivf_index.bucket_embs)
+    bids = np.asarray(index.ivf_index.bucket_ids)
+    changed = np.isin(bids, upd["video_id"])
+    assert changed.any()
+    assert not np.array_equal(after[changed], before[changed])
+    # search still runs and returns valid ids
+    rng = np.random.default_rng(1)
+    interests = jnp.asarray(
+        rng.normal(size=(2, cfg.num_query_tokens, cfg.embed_dim)).astype(np.float32)
+    )
+    _, ids = index.search(interests, top_k=10)
+    assert ids.shape == (2, 10)
