@@ -49,7 +49,8 @@ def main():
         use_sparse_embedding_updates=True,
         sparse_update_mode="rowwise",
         # Pallas flash band-attention kernel: +6% at these sizes after the
-        # whole-tile small-kv path (12541 → 13300 ex/s measured A/B)
+        # whole-tile small-kv path (38.5 vs 40.8 ms/step A/B — the
+        # 13,180 ex/s headline run in BASELINE.md/PERF.md)
         use_flash_attention=True,
         dense_lr=1e-3,
         dense_momentum=0.9,

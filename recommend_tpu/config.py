@@ -190,9 +190,14 @@ class RankingConfig:
     gradient_clip_norm: float = 90.0
     batch_size: int = 256
 
-    # system flags (config.py:66-69) — implemented, not decorative
+    # system flags (config.py:66-69) — implemented, not decorative.
+    # use_kv_cache gates the serving engine's S-trunk KV cache
+    # (RankingInferenceEngine.score_request / score_session): on ⇒ S-side
+    # encoded once per request + NS-only per candidate; off ⇒ full forward
+    # per candidate batch (measured 12× slower at 100 candidates/request).
+    # Default True matches the reference (oneTrans config.py:67).
     use_mixed_precision: bool = True
-    use_kv_cache: bool = False
+    use_kv_cache: bool = True
     use_flash_attention: bool = False
     use_remat: bool = False
     # touched-row-only embedding updates (the "sparse embedding server"

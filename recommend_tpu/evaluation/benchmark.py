@@ -24,12 +24,49 @@ def _sync(x) -> None:
     np.asarray(leaf) if hasattr(leaf, "shape") else float(leaf)
 
 
+def device_memory_stats(device: Optional[jax.Device] = None) -> Dict[str, float]:
+    """Current device (HBM) memory stats in MB. Mirrors the reference's GPU
+    memory reporting (oneTrans evaluate.py:197-204 via
+    tf.config.experimental.get_memory_info).
+
+    Uses the allocator's `memory_stats()` when the backend exposes it; remote
+    transports (axon tunnel) return None there, so the fallback sums live JAX
+    device arrays on the target device — framework-tracked bytes only (no
+    allocator overhead/fragmentation), labeled via ``memory_source``."""
+    d = device if device is not None else jax.local_devices()[0]
+    mb = 1024.0 * 1024.0
+    stats = getattr(d, "memory_stats", lambda: None)()
+    if stats:
+        out = {"memory_source": "allocator"}
+        for key, name in (
+            ("bytes_in_use", "memory_in_use_mb"),
+            ("peak_bytes_in_use", "memory_peak_mb"),
+            ("bytes_limit", "memory_limit_mb"),
+        ):
+            if key in stats:
+                out[name] = float(stats[key]) / mb
+        return out
+    try:
+        live = jax.live_arrays()
+    except Exception:
+        return {}
+    total = 0
+    for a in live:
+        try:
+            if d in a.devices():
+                total += a.nbytes // len(a.devices())
+        except Exception:
+            continue
+    return {"memory_source": "live_arrays", "memory_in_use_mb": total / mb}
+
+
 def latency_benchmark(
     fn: Callable[[], object],
     n_iters: int = 50,
     warmup: int = 5,
     batch_size: int = 1,
 ) -> Dict[str, float]:
+    mem_before = device_memory_stats()
     for _ in range(warmup):
         _sync(fn())
     lats = []
@@ -38,13 +75,21 @@ def latency_benchmark(
         _sync(fn())
         lats.append((time.perf_counter() - t0) * 1000)
     lats = np.asarray(lats)
-    return {
+    out = {
         "latency_ms_p50": float(np.percentile(lats, 50)),
         "latency_ms_p95": float(np.percentile(lats, 95)),
         "latency_ms_p99": float(np.percentile(lats, 99)),
         "latency_ms_mean": float(lats.mean()),
         "throughput_per_s": float(batch_size * 1000.0 / lats.mean()),
     }
+    mem_after = device_memory_stats()
+    if mem_after:
+        out.update(mem_after)
+        if "memory_in_use_mb" in mem_before:
+            out["memory_delta_mb"] = (
+                mem_after["memory_in_use_mb"] - mem_before["memory_in_use_mb"]
+            )
+    return out
 
 
 def ranking_model_flops(cfg, s_len: int, training: bool = False) -> float:

@@ -29,6 +29,7 @@ from recommend_tpu.config import RankingConfig
 from recommend_tpu.models.ranking import RankingModel
 from recommend_tpu.training.metrics import (
     binary_classification_suite,
+    exact_auc,
     grouped_auc,
     streaming_auc,
 )
@@ -62,7 +63,12 @@ class RankingEvaluator:
             {k: jnp.asarray(v) for k, v in batch["seq_valid"].items()},
         )
 
-    def evaluate(self, batches: Iterable[Dict]) -> Dict[str, float]:
+    def evaluate(
+        self, batches: Iterable[Dict], return_arrays: bool = False
+    ) -> Dict[str, float]:
+        """Offline metric suite. With ``return_arrays`` the report carries a
+        non-serialized ``_arrays`` entry {task: (probs, labels)} for
+        downstream statistics (bootstrap in ``ab_test``)."""
         init, update, compute = self._auc
         auc_states = {t: init() for t in self.cfg.tasks}
         probs_all = {t: [] for t in self.cfg.tasks}
@@ -88,20 +94,28 @@ class RankingEvaluator:
         out: Dict[str, float] = {"num_samples": n}
         if n:
             out["throughput_samples_per_s"] = n / max(t_total, 1e-9)
+        arrays = {}
         for t in self.cfg.tasks:
             if not probs_all[t]:
                 continue
-            p = jnp.asarray(np.concatenate(probs_all[t]))
-            y = jnp.asarray(np.concatenate(labels_all[t]))
-            suite = binary_classification_suite(p, y)
+            p_np = np.concatenate(probs_all[t])
+            y_np = np.concatenate(labels_all[t])
+            arrays[t] = (p_np, y_np)
+            suite = binary_classification_suite(jnp.asarray(p_np), jnp.asarray(y_np))
             out.update({f"{t}_{k}": float(v) for k, v in suite.items()})
-            out[f"{t}_auc"] = float(compute(auc_states[t]))
+            # REPORTED AUC is the exact Mann-Whitney (tie-corrected); the
+            # 512-bucket histogram stays available as *_auc_streaming (the
+            # paper's lifts are ~1% relative — histogram quantization can
+            # bias at exactly that scale)
+            out[f"{t}_auc"] = exact_auc(p_np, y_np)
+            out[f"{t}_auc_streaming"] = float(compute(auc_states[t]))
+            out[f"{t}_positive_rate"] = float(np.mean(p_np >= 0.5))
             if users_all:
                 out[f"{t}_uauc"] = grouped_auc(
-                    np.concatenate(probs_all[t]),
-                    np.concatenate(labels_all[t]),
-                    np.concatenate(users_all),
+                    p_np, y_np, np.concatenate(users_all)
                 )
+        if return_arrays:
+            out["_arrays"] = arrays
         return out
 
     def ab_test(
@@ -109,33 +123,62 @@ class RankingEvaluator:
         control_batches: Iterable[Dict],
         treatment_batches: Iterable[Dict],
         metric: Optional[str] = None,
+        bootstrap_samples: int = 1000,
+        seed: int = 0,
     ) -> Dict[str, object]:
-        """Simulated A/B comparison (reference evaluate.py:131-169) with a
-        two-proportion z-test on predicted positive rates and relative lifts
-        on every shared metric."""
+        """Simulated A/B comparison (reference evaluate.py:131-169) with two
+        real statistics (the reference's "naive significance" replaced):
+
+        - a two-proportion z-test on the primary task's PREDICTED-POSITIVE
+          RATES (an actual proportion, unlike accuracy, which is not a
+          Bernoulli proportion of a common population under H0);
+        - a bootstrap percentile CI on the primary-task AUC lift (the lift
+          the paper actually reports), resampling each arm independently.
+        """
         metric = metric or f"{self.cfg.tasks[0]}_auc"
-        control = self.evaluate(control_batches)
-        treatment = self.evaluate(treatment_batches)
+        control = self.evaluate(control_batches, return_arrays=True)
+        treatment = self.evaluate(treatment_batches, return_arrays=True)
+        c_arrays = control.pop("_arrays")
+        t_arrays = treatment.pop("_arrays")
         lifts = {
             k: (treatment[k] - control[k]) / abs(control[k])
             for k in control
             if k in treatment and isinstance(control[k], float) and control[k] != 0
         }
-        # z-test on the primary task's predicted-positive proportions
         t0 = self.cfg.tasks[0]
-        p1, n1 = control.get(f"{t0}_accuracy", 0.5), control["num_samples"]
-        p2, n2 = treatment.get(f"{t0}_accuracy", 0.5), treatment["num_samples"]
+        # z-test on predicted-positive rates (a true proportion per arm)
+        p1, n1 = control.get(f"{t0}_positive_rate", 0.5), control["num_samples"]
+        p2, n2 = treatment.get(f"{t0}_positive_rate", 0.5), treatment["num_samples"]
         pooled = (p1 * n1 + p2 * n2) / max(n1 + n2, 1)
         se = math.sqrt(max(pooled * (1 - pooled) * (1 / max(n1, 1) + 1 / max(n2, 1)), 1e-12))
         z = (p2 - p1) / se
+        # bootstrap the AUC lift
+        rng = np.random.default_rng(seed)
+        cp, cy = c_arrays[t0]
+        tp, ty = t_arrays[t0]
+        diffs = []
+        for _ in range(bootstrap_samples):
+            ci = rng.integers(0, len(cp), len(cp))
+            ti = rng.integers(0, len(tp), len(tp))
+            a_c = exact_auc(cp[ci], cy[ci])
+            a_t = exact_auc(tp[ti], ty[ti])
+            if a_c == a_c and a_t == a_t:
+                diffs.append(a_t - a_c)
+        diffs = np.asarray(diffs)
+        lo, hi = (
+            (float(np.percentile(diffs, 2.5)), float(np.percentile(diffs, 97.5)))
+            if len(diffs) else (float("nan"), float("nan"))
+        )
         return {
             "control": control,
             "treatment": treatment,
             "relative_lift": lifts,
             "primary_metric": metric,
             "primary_lift": lifts.get(metric, 0.0),
-            "z_score": z,
-            "significant_95": abs(z) > 1.96,
+            "positive_rate_z_score": z,
+            "positive_rate_significant_95": abs(z) > 1.96,
+            "auc_lift_ci95": (lo, hi),
+            "auc_lift_significant_95": bool(len(diffs)) and (lo > 0 or hi < 0),
         }
 
     def feature_importance(

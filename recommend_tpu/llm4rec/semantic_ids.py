@@ -93,9 +93,16 @@ def remap_retrieval_data(data, sid_map: SemanticIdMap):
     for user in data.user_sequences:
         u = dict(user)
         vid = u["video_id"]
-        u["video_id"] = sid_map.map_ids(vid)
+        sids = sid_map.map_ids(vid)
+        u["video_id"] = sids
+        # map_ids sends padding/OOV ids to n_clusters, which is past the end
+        # of the [k]-length per-cluster feature columns — gather clipped and
+        # zero those positions (they are padding downstream anyway)
+        safe_sids = np.minimum(sids, k - 1)
         for name in feats:
             if name in u:
-                u[name] = feats[name][u["video_id"]]
+                u[name] = np.where(
+                    sids < k, feats[name][safe_sids], 0
+                ).astype(feats[name].dtype)
         seqs.append(u)
     return replace(data, video_features=feats, popularity=pop, user_sequences=seqs)

@@ -41,13 +41,30 @@ def multihost_init(
     num_processes: Optional[int] = None,
     process_id: Optional[int] = None,
 ) -> None:
-    """Initialize jax.distributed for multi-host (DCN) training. No-op when
-    already initialized or single-process."""
+    """Initialize jax.distributed for multi-host (DCN) training.
+
+    Zero-arg (auto-detect) mode tolerates failure — single-process
+    environments have nothing to initialize. But when coordinator arguments
+    were EXPLICITLY passed, failure re-raises: silently degrading to
+    single-process would make the first collective hang or train on 1/N of
+    the data with no error at the true fault site."""
+    explicit = any(
+        a is not None for a in (coordinator_address, num_processes, process_id)
+    )
     try:
         jax.distributed.initialize(
             coordinator_address=coordinator_address,
             num_processes=num_processes,
             process_id=process_id,
         )
-    except (RuntimeError, ValueError):
-        pass  # already initialized or single-process environment
+    except (RuntimeError, ValueError) as e:
+        if "already initialized" in str(e).lower():
+            return  # idempotent re-init is fine in both modes
+        if explicit:
+            raise RuntimeError(
+                "jax.distributed.initialize failed with explicit coordinator "
+                f"args (coordinator_address={coordinator_address!r}, "
+                f"num_processes={num_processes}, process_id={process_id}); "
+                "refusing to silently fall back to single-process"
+            ) from e
+        # zero-arg auto-detect on a single process: nothing to do

@@ -233,16 +233,28 @@ class RankingInferenceEngine:
         """KV-cached request scoring: S-side once, NS-side per candidate.
 
         `user_context`: user+context feature values shared across candidates;
-        `candidates`: per-candidate item feature dicts."""
+        `candidates`: per-candidate item feature dicts.
+
+        ``cfg.use_kv_cache`` gates the path (the flag is real, unlike the
+        reference's decorative oneTrans config.py:66-69): off ⇒ the S trunk
+        re-runs per candidate batch through the full forward (the measured
+        12× slower baseline, BASELINE.md serving row)."""
         t0 = time.perf_counter()
         seqs, sv = self.preprocess_sequences(sequences)
-        cache = self._encode_s(self.params, seqs, sv)
         n = len(candidates)
         b = _bucket(n)
         cand = candidates + [candidates[-1]] * (b - n)
         rows = [dict(user_context, **c) for c in cand]
         ns = self._non_seq_arrays(rows)
-        probs = np.asarray(self._probs_cached(self.params, cache, ns))
+        if self.cfg.use_kv_cache:
+            cache = self._encode_s(self.params, seqs, sv)
+            probs = np.asarray(self._probs_cached(self.params, cache, ns))
+        else:
+            tiled = {sf: jnp.broadcast_to(v, (b,) + v.shape[1:])
+                     for sf, v in seqs.items()}
+            tiled_v = {sf: jnp.broadcast_to(v, (b,) + v.shape[1:])
+                       for sf, v in sv.items()}
+            probs = np.asarray(self._probs_fwd(self.params, ns, tiled, tiled_v))
         self._record(t0, ok=True)
         return [{t: float(probs[j][i]) for j, t in enumerate(self.cfg.tasks)}
                 for i in range(n)]

@@ -55,6 +55,11 @@ class RetrievalIndex:
     read on the scan); ``approx_recall=0.99`` swaps exact `lax.top_k` for the
     TPU-native `lax.approx_max_k`. Together: 3.5× scan speedup at 0.993
     top-100 recall (measured, 1M×128 corpus on v5e).
+
+    ``search()`` precedence when several accelerators are configured:
+    IVF > int8 quantized scan > mesh-sharded scan > approx_max_k > exact.
+    In particular a quantized index runs replicated on ONE device even when
+    a mesh is passed (warned at construction).
     """
 
     def __init__(
@@ -73,6 +78,17 @@ class RetrievalIndex:
     ):
         assert index_type in ("flat", "ivf"), index_type
         assert quantize in (None, "int8"), quantize
+        if mesh is not None and quantize is not None:
+            # search() precedence: quantized scan > sharded scan — int8 runs
+            # replicated on one device; there is no sharded quantized scan yet
+            import warnings
+
+            warnings.warn(
+                "RetrievalIndex: both mesh and quantize set — the int8 "
+                "quantized scan takes precedence and runs on one device; "
+                "sharded_topk_retrieval is NOT used",
+                stacklevel=2,
+            )
         self.cfg = cfg
         self.model = model
         self.params = params
@@ -133,6 +149,15 @@ class RetrievalIndex:
         `build()` and raises."""
         assert self.item_embeddings is not None, "call build() first"
         ids = np.asarray(item_features["video_id"], np.int64)
+        # dedup, keep LAST occurrence: duplicate ids in one scatter have a
+        # nondeterministic winner; the caller's last write should win
+        _, last_idx = np.unique(ids[::-1], return_index=True)
+        keep = np.sort(len(ids) - 1 - last_idx)
+        if len(keep) != len(ids):
+            ids = ids[keep]
+            item_features = {
+                k: np.asarray(item_features[k])[keep] for k in item_features
+            }
         chunk = {k: jnp.asarray(item_features[k]) for k in FEATURE_KEYS}
         rows = self._embed_fn(self.params, chunk)
         v = self.item_embeddings.shape[0]
@@ -141,6 +166,15 @@ class RetrievalIndex:
                 raise ValueError(
                     "appending new ids to an IVF index requires build(); "
                     "update_items only refreshes existing rows in place"
+                )
+            # reject gapped appends: a gap would create zero-embedding rows
+            # that can outrank real items (score 0 > negative scores)
+            new_ids = np.unique(ids[ids >= v])
+            if not np.array_equal(new_ids, np.arange(v, int(ids.max()) + 1)):
+                missing = sorted(set(range(v, int(ids.max()) + 1)) - set(new_ids.tolist()))
+                raise ValueError(
+                    f"append must be contiguous from current size {v}; "
+                    f"missing ids {missing[:10]}{'...' if len(missing) > 10 else ''}"
                 )
             grow = int(ids.max()) + 1 - v
             self.item_embeddings = jnp.concatenate(

@@ -102,6 +102,37 @@ def streaming_auc(num_thresholds: int = 512):
     return init, update, compute
 
 
+def exact_auc(probs, labels) -> float:
+    """Exact tie-corrected ROC AUC (Mann-Whitney U with midranks).
+
+    The paper's lifts are +0.9–1.5% *relative* AUC (translation:206-207);
+    the 512-bucket histogram of `streaming_auc` can bias comparisons at that
+    scale, so REPORTED final AUCs use this exact host-side computation (the
+    histogram remains for in-loop streaming). Vectorized midranks via
+    double-argsort + segment means — O(n log n), no Python loop over ties.
+    """
+    import numpy as np
+
+    p = np.asarray(probs, dtype=np.float64).reshape(-1)
+    y = np.asarray(labels, dtype=np.float64).reshape(-1)
+    n_pos = int(y.sum())
+    n_neg = int(len(y) - n_pos)
+    if n_pos == 0 or n_neg == 0:
+        return float("nan")
+    order = np.argsort(p, kind="mergesort")
+    sp = p[order]
+    # tie groups: start flags → group index → midrank = mean of 1-based ranks
+    starts = np.concatenate([[True], sp[1:] != sp[:-1]])
+    gidx = np.cumsum(starts) - 1
+    counts = np.bincount(gidx)
+    rank_sums = np.bincount(gidx, weights=np.arange(1, len(sp) + 1))
+    midranks = np.empty(len(sp))
+    midranks[order] = (rank_sums / counts)[gidx]
+    return float(
+        (midranks[y == 1].sum() - n_pos * (n_pos + 1) / 2.0) / (n_pos * n_neg)
+    )
+
+
 def grouped_auc(probs, labels, group_ids, weighted: bool = True) -> float:
     """UAUC / GAUC: exact per-group ROC AUC averaged over groups.
 
@@ -122,27 +153,10 @@ def grouped_auc(probs, labels, group_ids, weighted: bool = True) -> float:
     total, weight_sum = 0.0, 0.0
     for g in np.unique(group_ids):
         m = group_ids == g
-        y, p = labels[m], probs[m]
-        n_pos = int(y.sum())
-        n_neg = int(len(y) - n_pos)
-        if n_pos == 0 or n_neg == 0:
+        auc = exact_auc(probs[m], labels[m])
+        if auc != auc:  # NaN: group lacks a positive or a negative
             continue
-        # Mann-Whitney U with midranks (exact, tie-correct)
-        order = np.argsort(p, kind="mergesort")
-        ranks = np.empty(len(p))
-        ranks[order] = np.arange(1, len(p) + 1)
-        # midranks for ties
-        sp = p[order]
-        i = 0
-        while i < len(sp):
-            j = i
-            while j + 1 < len(sp) and sp[j + 1] == sp[i]:
-                j += 1
-            if j > i:
-                ranks[order[i : j + 1]] = (i + 1 + j + 1) / 2.0
-            i = j + 1
-        auc = (ranks[y == 1].sum() - n_pos * (n_pos + 1) / 2.0) / (n_pos * n_neg)
-        w = float(len(y)) if weighted else 1.0
+        w = float(m.sum()) if weighted else 1.0
         total += w * auc
         weight_sum += w
     return total / weight_sum if weight_sum else float("nan")

@@ -70,6 +70,7 @@ def test_leave_one_out_split(ml1m_dir):
     assert len(test.user_sequences) == len(data.user_sequences)
 
 
+@pytest.mark.slow
 def test_movielens_feeds_retrieval_pipeline(ml1m_dir):
     """Loader output drives retrieval_batches + a jitted forward unchanged."""
     import jax
@@ -139,6 +140,7 @@ def test_taobao_loader_labels_and_sequences(taobao_csv):
         assert data.non_seq[f].max() < cfg.vocab_size(f)
 
 
+@pytest.mark.slow
 def test_taobao_feeds_ranking_trainer(taobao_csv):
     """Loader output drives ranking_batches + one CPU train step unchanged."""
     import jax
@@ -160,6 +162,7 @@ def test_taobao_feeds_ranking_trainer(taobao_csv):
     assert np.isfinite(float(metrics["loss"]))
 
 
+@pytest.mark.slow
 def test_criteo_loader_and_ns_only_training(tmp_path):
     """Criteo TSV → NS-only samples (no behavior sequences): loader parses
     missing fields, bucketizes/hashes into the config's vocabs, and the
@@ -219,6 +222,7 @@ def test_criteo_loader_and_ns_only_training(tmp_path):
     assert losses[-1] < losses[0]
 
 
+@pytest.mark.slow
 def test_ns_only_model_with_sparse_updates():
     """The NS-only path must also work with touched-row sparse updates."""
     import jax

@@ -91,9 +91,17 @@ def test_ab_test_harness(ranking_eval_setup):
     ev = RankingEvaluator(cfg, model, params)
     c = itertools.islice(ranking_batches(data, cfg, batch_size=16, seed=2), 3)
     t = itertools.islice(ranking_batches(data, cfg, batch_size=16, seed=3), 3)
-    r = ev.ab_test(c, t)
-    assert "relative_lift" in r and "z_score" in r
-    assert isinstance(r["significant_95"], (bool, np.bool_))
+    r = ev.ab_test(c, t, bootstrap_samples=50)
+    assert "relative_lift" in r and "positive_rate_z_score" in r
+    assert isinstance(r["positive_rate_significant_95"], (bool, np.bool_))
+    lo, hi = r["auc_lift_ci95"]
+    assert lo <= hi
+    # identical arms ⇒ no significant AUC lift
+    same_a = itertools.islice(ranking_batches(data, cfg, batch_size=16, seed=5), 3)
+    same_b = itertools.islice(ranking_batches(data, cfg, batch_size=16, seed=5), 3)
+    r_same = ev.ab_test(same_a, same_b, bootstrap_samples=50)
+    assert not r_same["auc_lift_significant_95"]
+    assert abs(r_same["positive_rate_z_score"]) < 1e-6
 
 
 def test_feature_importance(ranking_eval_setup):

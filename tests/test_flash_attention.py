@@ -88,6 +88,7 @@ def test_fully_padded_row_is_finite():
     assert np.isfinite(np.asarray(out)).all()
 
 
+@pytest.mark.slow
 def test_ranking_model_flash_path_matches_jnp():
     """Full ranking forward with use_flash_attention on vs off (interpret)."""
     import jax

@@ -1,3 +1,4 @@
+import pytest
 import jax
 import jax.numpy as jnp
 import numpy as np
@@ -10,6 +11,7 @@ from recommend_tpu.llm4rec.semantic_distill import (
 )
 
 
+@pytest.mark.slow
 def test_semantic_distill_shapes_and_training_signal():
     cfg = SemanticDistillConfig(teacher_dim=64, hidden_dim=32)
     model = SemanticDistillModel(cfg)
@@ -32,6 +34,7 @@ def test_semantic_distill_shapes_and_training_signal():
     assert sum(float(jnp.abs(x).sum()) for x in jax.tree_util.tree_leaves(g)) > 0
 
 
+@pytest.mark.slow
 def test_semantic_features_flow_into_ranking_tokenizer():
     from recommend_tpu.data.pipeline import ranking_batches
     from recommend_tpu.data.synthetic import make_ranking_data
@@ -118,6 +121,7 @@ def test_semantic_ids_build_and_map():
     np.testing.assert_array_equal(np.asarray(cold), sids[:2])
 
 
+@pytest.mark.slow
 def test_semantic_id_retrieval_training_end_to_end():
     """Next-semantic-id prediction = the retrieval tower over the semantic
     vocabulary; remapped data must train through the normal pipeline."""
@@ -147,3 +151,35 @@ def test_semantic_id_retrieval_training_end_to_end():
     it = retrieval_batches(sdata, cfg, batch_size=16, seed=0)
     state = tr.train(it, num_steps=8, log_every=8)
     assert int(state.step) == 8
+
+
+def test_semantic_id_remap_handles_padding_sentinel():
+    """User sequences containing the padding sentinel (id == V) or OOV ids
+    must remap without IndexError; features at those positions become 0
+    (ADVICE round 1, medium)."""
+    import numpy as np
+
+    from recommend_tpu.config import get_config
+    from recommend_tpu.data.synthetic import make_retrieval_data
+    from recommend_tpu.llm4rec.semantic_ids import build_semantic_ids, remap_retrieval_data
+
+    cfg = get_config(
+        "retrieval_small", video_vocab_size=100,
+        compression_schedule=((8, 4), (8, 1)), max_seq_len=16,
+    )
+    data = make_retrieval_data(cfg, num_users=5, num_videos=100, seed=0)
+    rng = np.random.default_rng(0)
+    emb = rng.normal(size=(100, 16)).astype(np.float32)
+    sid_map = build_semantic_ids(emb, n_clusters=8, iters=2)
+    # inject the padding sentinel V and an OOV id into a user sequence
+    u0 = data.user_sequences[0]
+    u0["video_id"] = np.asarray(u0["video_id"]).copy()
+    u0["video_id"][0] = 100  # == V (padding sentinel)
+    u0["video_id"][1] = 105  # OOV
+    out = remap_retrieval_data(data, sid_map)
+    s0 = out.user_sequences[0]
+    assert s0["video_id"][0] == sid_map.n_clusters
+    assert s0["video_id"][1] == sid_map.n_clusters
+    for name in out.video_features:
+        if name in s0:
+            assert s0[name][0] == 0 and s0[name][1] == 0

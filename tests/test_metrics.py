@@ -1,3 +1,4 @@
+import pytest
 import jax.numpy as jnp
 import numpy as np
 
@@ -100,3 +101,25 @@ def test_suite_keys():
     m = retrieval_metric_suite(scores, jnp.zeros(8, dtype=jnp.int32), ks=(1, 5, 10, 50))
     assert set(m) == {"recall@1", "ndcg@1", "recall@5", "ndcg@5",
                       "recall@10", "ndcg@10", "recall@50", "ndcg@50", "mrr"}
+
+
+def test_exact_auc_matches_sklearn():
+    from recommend_tpu.training.metrics import exact_auc
+
+    pytest.importorskip("sklearn")
+    from sklearn.metrics import roc_auc_score
+
+    rng = np.random.default_rng(3)
+    for n in (10, 257, 1000):
+        y = rng.integers(0, 2, n)
+        if y.sum() in (0, n):
+            y[0] = 1 - y[0]
+        # heavy ties: quantized probabilities
+        p = np.round(rng.random(n), 2)
+        assert abs(exact_auc(p, y) - roc_auc_score(y, p)) < 1e-12
+
+
+def test_exact_auc_degenerate():
+    from recommend_tpu.training.metrics import exact_auc
+
+    assert exact_auc([0.5, 0.7], [1, 1]) != exact_auc([0.5, 0.7], [1, 1])  # NaN

@@ -113,6 +113,7 @@ def test_padding_invariance(setup):
         )
 
 
+@pytest.mark.slow
 def test_remat_variant_matches(setup):
     cfg, model, params, args, _ = setup
     cfg2 = tiny_ranking_cfg(use_remat=True)
@@ -125,6 +126,7 @@ def test_remat_variant_matches(setup):
         )
 
 
+@pytest.mark.slow
 def test_gradients_flow(setup):
     cfg, model, params, args, batch = setup
     labels = {t: jnp.asarray(v) for t, v in batch["labels"].items()}

@@ -12,6 +12,7 @@ from recommend_tpu.training.ranking_trainer import RankingTrainer
 from tests.test_ranking_model import tiny_ranking_cfg
 
 
+@pytest.mark.slow
 def test_training_reduces_loss(tmp_path):
     cfg = tiny_ranking_cfg(batch_size=16)
     data = make_ranking_data(cfg, num_samples=200, max_seq_per_feature=10, seed=0)
@@ -23,6 +24,7 @@ def test_training_reduces_loss(tmp_path):
     assert np.mean(losses[-3:]) < np.mean(losses[:3]), losses
 
 
+@pytest.mark.slow
 def test_eval_reports_auc():
     cfg = tiny_ranking_cfg(batch_size=16)
     data = make_ranking_data(cfg, num_samples=100, max_seq_per_feature=10, seed=1)

@@ -129,6 +129,7 @@ def test_engine_stats(ranking_engine):
     assert s["est_qps"] > 0
 
 
+@pytest.mark.slow
 def test_checkpoint_round_trip(tmp_path):
     cfg = tiny_ranking_cfg(batch_size=8)
     data = make_ranking_data(cfg, num_samples=32, max_seq_per_feature=8, seed=0)
@@ -308,6 +309,7 @@ def test_retrieval_index_ivf_update_items_in_place(retrieval_setup):
         index.update_items(new)
 
 
+@pytest.mark.slow
 def test_ns_only_kv_cache_path():
     """encode_s/score_with_cache must work on NS-only (Criteo) configs and
     match the full forward."""
@@ -356,3 +358,78 @@ def test_retrieval_index_ivf_int8_update_items(retrieval_setup):
     )
     _, ids = index.search(interests, top_k=10)
     assert ids.shape == (2, 10)
+
+
+def test_use_kv_cache_flag_gates_path(ranking_engine):
+    """use_kv_cache=False must route score_request through the full forward
+    and still produce the same probabilities (the flag is real behavior, not
+    decorative — unlike reference oneTrans config.py:66-69)."""
+    import dataclasses
+
+    user_ctx, _, seqs = _features()
+    candidates = [_features(s)[1] for s in range(3)]
+    assert ranking_engine.cfg.use_kv_cache  # default on
+    cached = ranking_engine.score_request(user_ctx, seqs, candidates)
+    cfg_off = dataclasses.replace(ranking_engine.cfg, use_kv_cache=False)
+    engine_off = RankingInferenceEngine(
+        cfg_off, ranking_engine.params, max_seq_len=ranking_engine.max_seq_len
+    )
+    uncached = engine_off.score_request(user_ctx, seqs, candidates)
+    for a, b in zip(cached, uncached):
+        for t in ranking_engine.cfg.tasks:
+            assert abs(a[t] - b[t]) < 1e-4, (t, a[t], b[t])
+
+
+def test_update_items_dedup_keeps_last(retrieval_setup):
+    """Duplicate ids in one update_items call: the LAST row wins."""
+    cfg, model, params, data = retrieval_setup
+    index = RetrievalIndex(cfg, model, params, embed_batch=64)
+    corpus = data.corpus_features()
+    index.build(corpus)
+    row = {k: np.array(v[7:8]) for k, v in corpus.items()}
+    dup = {
+        k: np.concatenate([row[k], row[k]]) for k in row
+    }
+    dup["category"] = np.array(
+        [(row["category"][0] + 1) % cfg.category_vocab_size,
+         (row["category"][0] + 2) % cfg.category_vocab_size]
+    )
+    index.update_items(dup)
+    expect = {k: np.array(v) for k, v in row.items()}
+    expect["category"] = dup["category"][1:]  # last occurrence
+    ref = RetrievalIndex(cfg, model, params, embed_batch=64)
+    corpus2 = {k: np.array(v) for k, v in corpus.items()}
+    corpus2["category"][7] = expect["category"][0]
+    ref.build(corpus2)
+    np.testing.assert_allclose(
+        np.asarray(index.item_embeddings),
+        np.asarray(ref.item_embeddings),
+        atol=1e-6,
+    )
+
+
+def test_update_items_rejects_gapped_append(retrieval_setup):
+    """Appends past the corpus end must be contiguous — a gap would create
+    zero-embedding rows that outrank real items (score 0 > negative)."""
+    cfg, model, params, data = retrieval_setup
+    index = RetrievalIndex(cfg, model, params, embed_batch=64)
+    corpus = data.corpus_features()
+    index.build(corpus)
+    v = index.item_embeddings.shape[0]
+    upd = {k: np.array(val[:1]) for k, val in corpus.items()}
+    upd["video_id"] = np.array([v + 3])  # skips v, v+1, v+2
+    with pytest.raises(ValueError, match="contiguous"):
+        index.update_items(upd)
+
+
+def test_mesh_plus_quantize_warns(retrieval_setup):
+    cfg, model, params, data = retrieval_setup
+    import warnings
+
+    class FakeMesh:  # only truthiness is checked at construction
+        shape = {"data": 1}
+
+    with warnings.catch_warnings(record=True) as w:
+        warnings.simplefilter("always")
+        RetrievalIndex(cfg, model, params, mesh=FakeMesh(), quantize="int8")
+    assert any("int8" in str(x.message) for x in w)

@@ -1,3 +1,4 @@
+import pytest
 """Sparse embedding updates must exactly match dense adagrad."""
 
 import jax
@@ -89,6 +90,7 @@ def test_two_steps_accumulate():
     assert 0 < d2 < d1
 
 
+@pytest.mark.slow
 def test_ranking_trainer_sparse_matches_dense():
     """Full ranking train step: sparse-update path == dense-adagrad path."""
     import jax
@@ -126,6 +128,7 @@ def test_ranking_trainer_sparse_matches_dense():
         )
 
 
+@pytest.mark.slow
 def test_retrieval_trainer_sparse_runs_and_learns():
     """Retrieval trainer with sparse id-table updates: trains, loss drops,
     only touched video rows change."""
@@ -168,6 +171,7 @@ def test_retrieval_trainer_sparse_runs_and_learns():
     assert losses[-1] < losses[0]
 
 
+@pytest.mark.slow
 def test_retrieval_seq2seq_sparse_runs():
     import dataclasses
 
@@ -237,6 +241,7 @@ def test_rowwise_fast_update_semantics():
     np.testing.assert_allclose(np.asarray(t3), np.asarray(table), rtol=1e-6)
 
 
+@pytest.mark.slow
 def test_ranking_trainer_rowwise_mode_trains():
     from recommend_tpu.config import get_config
     from recommend_tpu.data.pipeline import ranking_batches
@@ -274,6 +279,7 @@ def test_ranking_trainer_rowwise_mode_trains():
     assert losses[-1] < losses[0]  # tables actually learn
 
 
+@pytest.mark.slow
 def test_retrieval_trainer_rowwise_mode():
     """RetrievalConfig.sparse_update_mode='rowwise' (the flagship production
     default): [V] accumulators, trains, loss falls, checkpoint roundtrip."""

@@ -27,6 +27,7 @@ def tiny_cfg():
     )
 
 
+@pytest.mark.slow
 def test_training_reduces_loss(tiny_cfg, tmp_path):
     data = make_retrieval_data(tiny_cfg, num_users=50, num_videos=200, seed=0)
     it = retrieval_batches(data, tiny_cfg, batch_size=16, seed=0)
@@ -57,6 +58,7 @@ def test_profiler_trace_written(tiny_cfg, tmp_path):
                for f in found), found
 
 
+@pytest.mark.slow
 def test_checkpoint_restore_resumes(tiny_cfg, tmp_path):
     data = make_retrieval_data(tiny_cfg, num_users=30, num_videos=100, seed=1)
     ckpt_dir = str(tmp_path / "ckpt2")
@@ -84,6 +86,7 @@ def test_evaluate_returns_metrics(tiny_cfg):
     assert 0.0 <= metrics["mrr"] <= 1.0
 
 
+@pytest.mark.slow
 def test_seq2seq_training_mode(tiny_cfg):
     """Causal all-positions self-supervised mode trains and reduces loss."""
     import dataclasses
@@ -121,6 +124,7 @@ def test_seq2seq_loss_matches_hand_computation():
     np.testing.assert_allclose(float(total), np.mean(per_pos), rtol=1e-5)
 
 
+@pytest.mark.slow
 def test_masked_item_training_mode(tiny_cfg):
     """BERT4Rec-style masked-item objective trains and reduces loss."""
     data = make_retrieval_data(tiny_cfg, num_users=50, num_videos=200, seed=5)
