@@ -108,22 +108,32 @@ def bench_ranking(n_requests: int, n_candidates: int) -> dict:
         lats.append((time.perf_counter() - t0) * 1000)
     cached = pctile(lats)
 
-    # cross-request session cache: Δ-update + cached-token scoring
+    # cross-request session cache: true per-layer K/V Δ-append — each request
+    # appends Δ=2 new items (O(Δ·window) trunk work) and scores candidates
+    # over the cached per-layer S K/V with ZERO history re-encoding
+    # (translation:144-151; auto-refresh re-anchors every `slack` appends)
     engine.update_session("u1", {sf: user_seqs[sf] for sf in cfg.sequence_features})
-    engine.score_session("u1", user_ctx, make_cands())  # compile
+    engine.score_session(
+        "u1", user_ctx, make_cands(),
+        new_items={cfg.sequence_features[0]: [1, 2]},
+    )  # compile append + score
     lats = []
     for _ in range(n_requests):
         t0 = time.perf_counter()
-        engine.update_session("u1", {cfg.sequence_features[0]: [int(rng.integers(0, 1000))]})
-        engine.score_session("u1", user_ctx, make_cands())
+        engine.score_session(
+            "u1", user_ctx, make_cands(),
+            new_items={cfg.sequence_features[0]:
+                       [int(rng.integers(0, 1000)), int(rng.integers(0, 1000))]},
+        )
         lats.append((time.perf_counter() - t0) * 1000)
     session = pctile(lats)
+    session["session_kv_memory_mb"] = round(engine.session_memory_mb(), 3)
 
     return {
         "config": "OneTrans-S-like (6L, d=256), 100 candidates/request",
         "uncached_batch": uncached,
         "kv_cached_request": cached,
-        "session_cached_delta_update": session,
+        "session_delta_kv_append": session,
     }
 
 

@@ -376,6 +376,121 @@ class RankingModel(nn.Module):
         x = self.final_norm(x)
         return self._apply_heads(x[:, -1])
 
+    # -- cross-request Δ-append session cache ------------------------------
+    #
+    # The paper's cross-request cache (translation:144-151, Table 5 :252:
+    # −29.6% p99 / −52.9% memory) reuses per-layer S-side K/V across requests
+    # and appends only the Δ new behavior items. Realization here, TPU-first
+    # (static shapes throughout):
+    #
+    #   session state = refresh cache (encode_s output: per-layer k/v/valid
+    #   at a refresh point) + per-layer EXTENSION buffers
+    #   [n_layers, 1, SLACK, H, Dh] with one shared count.
+    #
+    #   extend_s_cache runs ONE trunk step over only the Δ new tokens per
+    #   layer — O(Δ·window) instead of O(window²) per request.
+    #
+    # Exactness (frozen-window semantics): under the causal mask, appended
+    # tokens cannot change earlier positions' K/V, so the append is exact
+    # with respect to the forward whose per-layer pyramid windows are FROZEN
+    # at the refresh point and grow at the tail. When pyramid pruning is
+    # inactive (keep ratios ≥ 1, or stream shorter than every keep length)
+    # this equals the true full forward bit-for-bit (tested). With pruning
+    # active, entries drift from a fresh full forward only through window
+    # anchoring (old keys that a re-pruned forward would have dropped); the
+    # serving engine refreshes periodically (SLACK exhaustion), restoring
+    # bit-exactness with `score_request` at every refresh point.
+
+    def extend_s_cache(
+        self,
+        cache: List[Optional[Tuple[jax.Array, jax.Array, jax.Array]]],
+        ext_k: jax.Array,  # [n_layers, 1, SLACK, H, Dh]
+        ext_v: jax.Array,
+        count: jax.Array,  # scalar int32: filled extension slots
+        x_new: jax.Array,  # [1, Db, d] token vectors of appended items
+        new_valid: jax.Array,  # [1, Db] bool; valid packed at the front
+    ) -> Tuple[jax.Array, jax.Array, jax.Array]:
+        """One Δ-append trunk step. Returns (ext_k, ext_v, count) updated —
+        the new tokens' per-layer K/V written at [count : count+Db] (garbage
+        in padded slots is masked by count until overwritten)."""
+        slack = ext_k.shape[2]
+        ext_valid = (jnp.arange(slack)[None, :] < count)  # [1, SLACK]
+        x = x_new
+        new_ext_k, new_ext_v = ext_k, ext_v
+        n_layers = len(self.blocks)
+        for i, (blk, entry) in enumerate(zip(self.blocks, cache)):
+            if entry is None:
+                # the refresh trunk ended here (keep_s hit 0) or the config
+                # has no S stream: the canonical pruned forward has NO S
+                # tokens at this layer and the block has no S-side q/FFN
+                # parameters — stop extending
+                break
+            hx = blk.attn_norm(x)
+            k_n = blk.k_s(hx)
+            v_n = blk.v_s(hx)
+            new_ext_k = jax.lax.dynamic_update_slice(
+                new_ext_k, k_n[None].astype(new_ext_k.dtype), (i, 0, count, 0, 0)
+            )
+            new_ext_v = jax.lax.dynamic_update_slice(
+                new_ext_v, v_n[None].astype(new_ext_v.dtype), (i, 0, count, 0, 0)
+            )
+            # the layer's OUTPUT for the new tokens is only needed as the
+            # next layer's input — and q_s/FFN params only exist for layers
+            # whose keep_s was > 0 (exactly those with a next-layer cache)
+            if i + 1 >= n_layers or cache[i + 1] is None:
+                break
+            q = blk.q_s(hx)
+            parts_k = [ext_k[i].astype(k_n.dtype), k_n]
+            parts_v = [ext_v[i].astype(v_n.dtype), v_n]
+            valids = [ext_valid, new_valid]
+            off = slack
+            if entry is not None:
+                k0, v0, sv0 = entry
+                parts_k.insert(0, k0.astype(k_n.dtype))
+                parts_v.insert(0, v0.astype(v_n.dtype))
+                valids.insert(0, sv0)
+                off += k0.shape[1]
+            k = jnp.concatenate(parts_k, axis=1)
+            v = jnp.concatenate(parts_v, axis=1)
+            kv_valid = jnp.concatenate(valids, axis=1)
+            attn = blk._attend(q, k, v, kv_valid, off)
+            x = x + blk.o_proj(attn)
+            x = x + blk._ffn_s(blk.ffn_norm(x))
+        n_new = jnp.sum(new_valid.astype(jnp.int32))
+        return new_ext_k, new_ext_v, count + n_new
+
+    def score_with_cache_ext(
+        self,
+        cache: List[Optional[Tuple[jax.Array, jax.Array, jax.Array]]],
+        ext_k: jax.Array,
+        ext_v: jax.Array,
+        count: jax.Array,
+        non_seq: Dict[str, jax.Array],
+    ) -> Dict[str, jax.Array]:
+        """`score_with_cache` over refresh cache + extension buffers: the
+        NS path's S keys per layer are [refresh K/V ; extension[:count]]."""
+        x = self.tokenizer.ns_tokens(non_seq)
+        slack = ext_k.shape[2]
+        ext_valid = (jnp.arange(slack)[None, :] < count)  # [1, SLACK]
+        for i, (blk, entry) in enumerate(zip(self.blocks, cache)):
+            if entry is None:
+                # no S stream at this layer (trunk ended / NS-only config);
+                # the extension is never written past the trunk end, so its
+                # zero rows must not be attended either
+                x = blk.ns_call(x, None, None, None)
+                continue
+            k0, v0, sv0 = entry
+            ke, ve = ext_k[i], ext_v[i]
+            k_s = jnp.concatenate([k0, ke.astype(k0.dtype)], axis=1)
+            v_s = jnp.concatenate([v0, ve.astype(v0.dtype)], axis=1)
+            sv = jnp.concatenate(
+                [sv0, jnp.broadcast_to(ext_valid, (sv0.shape[0], slack))],
+                axis=1,
+            )
+            x = blk.ns_call(x, k_s, v_s, sv)
+        x = self.final_norm(x)
+        return self._apply_heads(x[:, -1])
+
     def param_count(self, params) -> int:
         return sum(int(p.size) for p in jax.tree_util.tree_leaves(params))
 

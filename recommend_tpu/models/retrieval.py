@@ -177,14 +177,47 @@ class RetrievalTower(nn.Module):
         deterministic: bool = True,
     ) -> jax.Array:
         """Causal interests after one chosen prefix position → [B, k, D]
-        (kuaiformer `call_with_position`, model.py:502-526). One causal pass
-        + a gather — the single-position view of `all_position_interests`,
-        so it needs no extra masking machinery and is consistent with the
-        seq-to-seq training mode by construction."""
-        outs = self.all_position_interests(features, valid, deterministic)
-        return jnp.take_along_axis(
-            outs, position[:, None, None, None].astype(jnp.int32), axis=1
-        )[:, 0]
+        (kuaiformer `call_with_position`, model.py:502-526).
+
+        ONE causal pass over ``[items(T); queries(k)]`` where the k query
+        tokens are masked to attend only items ≤ ``position`` (per example)
+        plus each other — O((T+k)²) attention instead of the all-positions
+        O((T·(1+k))²) pass. Equivalent by construction to gathering row
+        ``position`` of `all_position_interests` (tested), because in the
+        interleaved mode a query group's keys are exactly items ≤ its time
+        plus its own group."""
+        cfg = self.config
+        tokens, token_valid = self._tokens(features, valid)
+        b, t, d = tokens.shape
+        k = cfg.num_query_tokens
+        q = jnp.broadcast_to(
+            self.query_tokens.astype(tokens.dtype)[None], (b, k, d)
+        )
+        x = jnp.concatenate([tokens, q], axis=1)
+        l = t + k
+        pos = jnp.arange(l)
+        is_query = pos >= t
+        # static part: items causal among themselves, queries see each other
+        static_ok = (
+            (pos[None, :] <= pos[:, None]) & ~is_query[None, :] & ~is_query[:, None]
+        ) | (is_query[None, :] & is_query[:, None])
+        # per-example part: query rows see items with index <= position[b]
+        q_to_item = (
+            is_query[None, :, None]
+            & (~is_query)[None, None, :]
+            & (pos[None, None, :] <= position[:, None, None].astype(jnp.int32))
+        )  # [B, L, L]
+        allowed = static_ok[None] | q_to_item
+        key_valid = jnp.concatenate(
+            [token_valid, jnp.ones((b, k), dtype=bool)], axis=1
+        )
+        bias = (
+            jnp.where(allowed[:, None], 0.0, NEG_INF)
+            + jnp.where(key_valid[:, None, None, :], 0.0, NEG_INF)
+        )  # [B, 1, L, L]
+        for blk in self.blocks:
+            x = blk(x, bias, deterministic)
+        return self.final_norm(x[:, t:])  # [B, k, D]
 
     def masked_position_outputs(
         self,

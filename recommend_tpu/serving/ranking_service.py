@@ -36,11 +36,21 @@ def _bucket(n: int) -> int:
 
 
 class RankingInferenceEngine:
-    def __init__(self, cfg: RankingConfig, params, max_seq_len: int = 64):
+    def __init__(
+        self,
+        cfg: RankingConfig,
+        params,
+        max_seq_len: int = 64,
+        slack: int = 16,
+    ):
+        """``slack``: extension-buffer capacity of the cross-request session
+        cache — appends accumulate O(Δ)-cost until `slack` items, then the
+        session re-anchors with one full S encode (refresh)."""
         self.cfg = cfg
         self.model = RankingModel(cfg)
         self.params = params
         self.max_seq_len = max_seq_len
+        self.slack = slack
         self.stats_state = {
             "total": 0, "success": 0, "failure": 0, "ema_latency_ms": None,
         }
@@ -63,9 +73,10 @@ class RankingInferenceEngine:
                 method=RankingModel.embed_sequence_items,
             ),
         )
-        self._encode_s_tokens = jax.jit(
-            lambda p, s, sv: m.apply(
-                p, s, sv, method=RankingModel.encode_s_tokens
+        self._extend = jax.jit(
+            lambda p, cache, ek, ev, cnt, x, v: m.apply(
+                p, cache, ek, ev, cnt, x, v,
+                method=RankingModel.extend_s_cache,
             )
         )
         # single-fetch probability paths: sigmoid on device, tasks stacked
@@ -81,6 +92,14 @@ class RankingInferenceEngine:
         self._probs_cached = jax.jit(
             lambda p, cache, ns: stack(
                 m.apply(p, cache, ns, method=RankingModel.score_with_cache)
+            )
+        )
+        self._probs_cached_ext = jax.jit(
+            lambda p, cache, ek, ev, cnt, ns: stack(
+                m.apply(
+                    p, cache, ek, ev, cnt, ns,
+                    method=RankingModel.score_with_cache_ext,
+                )
             )
         )
         self._sessions: Dict[Any, Dict] = {}
@@ -132,8 +151,8 @@ class RankingInferenceEngine:
         swap in new params with NO recompilation (params are traced arguments
         of every jitted path) and zero downtime. Live sessions survive —
         their raw id history is kept and, with ``refresh_sessions``, their
-        cached token vectors are re-embedded under the new params so the
-        cross-request cache stays exact rather than serving stale vectors."""
+        per-layer K/V caches are re-encoded under the new params so the
+        cross-request cache serves the new model, not stale K/V."""
         assert (params is None) != (checkpoint_dir is None), (
             "pass exactly one of params / checkpoint_dir"
         )
@@ -143,16 +162,8 @@ class RankingInferenceEngine:
             )
         self.params = params
         if refresh_sessions:
-            for sess in self._sessions.values():
-                for sf, entry in sess.items():
-                    ids = entry["ids"]
-                    if not ids:
-                        continue
-                    b = _bucket(len(ids))
-                    padded = np.asarray(ids + [0] * (b - len(ids)), np.int64)
-                    entry["tokens"] = np.asarray(
-                        self._embed_items(self.params, jnp.asarray(padded))
-                    )[: len(ids)]
+            for sid in self._sessions:
+                self.refresh_session(sid)
 
     # -- preprocessing (reference :62-92) ----------------------------------
     def preprocess_sequences(
@@ -259,82 +270,162 @@ class RankingInferenceEngine:
         return [{t: float(probs[j][i]) for j, t in enumerate(self.cfg.tasks)}
                 for i in range(n)]
 
-    # -- cross-request session cache (translation:144-151 Δ-update) ---------
+    # -- cross-request session cache: true O(ΔL) per-layer K/V Δ-append -----
+    #
+    # Session state (the paper's cross-request cache, translation:144-151;
+    # Table 5 row :252 credits it −29.6% p99 / −52.9% memory):
+    #   - per-sequence-feature id sliding windows (host; refresh + fallback)
+    #   - "cache": per-layer (k_s, v_s, valid) from `encode_s` at the last
+    #     REFRESH point — bit-identical to what `score_request` would build
+    #   - "ext_k/ext_v/count": per-layer extension buffers [n_layers, 1,
+    #     SLACK, H, Dh]; each update appends ONLY the Δ new items' K/V via
+    #     `extend_s_cache` — one O(Δ·window) trunk step, never re-encoding
+    #     the history (static shapes: Δ padded to a power-of-two bucket).
+    #
+    # Exactness: at every refresh point `score_session` ≡ `score_request`
+    # bit-for-bit (same compiled encode_s). Between refreshes, appended
+    # entries are exact under frozen pyramid windows (see
+    # RankingModel.extend_s_cache); the engine refreshes automatically when
+    # the extension fills (`slack` appends), re-anchoring the windows.
+    # Appends are chronological (arrival order) regardless of which behavior
+    # sequence they belong to — the segmented [S1;SEP;S2;...] layout is
+    # restored at refresh. Token vectors are per-item and position-
+    # independent (no positional encoding), so append order only matters
+    # through the causal mask.
+
+    def _empty_ext(self):
+        cfg = self.cfg
+        h = cfg.num_heads
+        dh = cfg.embed_dim // h
+        dt = jnp.dtype(cfg.active_compute_dtype)
+        z = jnp.zeros((cfg.num_layers, 1, self.slack, h, dh), dt)
+        return z, z
+
+    def refresh_session(self, session_id) -> None:
+        """Re-encode the session's S trunk from its id windows (the periodic
+        re-anchor; also the hot-reload path). Restores exact `score_request`
+        semantics for the current history."""
+        sess = self._sessions[session_id]
+        seqs, sv = self.preprocess_sequences(sess["ids"])
+        sess["cache"] = self._encode_s(self.params, seqs, sv)
+        sess["ext_k"], sess["ext_v"] = self._empty_ext()
+        sess["count"] = 0
+
     def update_session(self, session_id, new_items: Dict[str, Sequence[int]]) -> None:
-        """Append new behavior items to a session; ONLY the new items are
-        embedded (append-only Δ-update — token vectors are per-item and
-        position-independent, so this is exact)."""
-        sess = self._sessions.setdefault(
-            session_id,
-            {sf: {"ids": [], "tokens": None} for sf in self.cfg.sequence_features},
-        )
+        """Append new behavior items to a session. Only the Δ new items are
+        embedded and pushed through one per-layer K/V append step — O(ΔL)
+        per update (translation:144-151)."""
+        sess = self._sessions.get(session_id)
+        fresh = sess is None
+        if fresh:
+            sess = self._sessions[session_id] = {
+                "ids": {sf: [] for sf in self.cfg.sequence_features},
+                "cache": None,
+                "ext_k": None,
+                "ext_v": None,
+                "count": 0,
+            }
+        delta: List[int] = []
         for sf, ids in new_items.items():
-            ids = list(ids)
+            ids = [int(i) for i in ids]
             if not ids:
                 continue
-            b = _bucket(len(ids))
-            padded = np.asarray(ids + [0] * (b - len(ids)), dtype=np.int64)
-            toks = np.asarray(
-                self._embed_items(self.params, jnp.asarray(padded))
-            )[: len(ids)]
-            entry = sess[sf]
-            entry["ids"].extend(ids)
-            entry["tokens"] = (
-                toks if entry["tokens"] is None
-                else np.concatenate([entry["tokens"], toks], axis=0)
-            )
-            # sliding window: keep the most recent max_seq_len
-            if len(entry["ids"]) > self.max_seq_len:
-                entry["ids"] = entry["ids"][-self.max_seq_len :]
-                entry["tokens"] = entry["tokens"][-self.max_seq_len :]
+            if sf not in sess["ids"]:
+                raise KeyError(f"unknown sequence feature {sf!r}")
+            sess["ids"][sf].extend(ids)
+            # sliding window: keep the most recent max_seq_len per sequence
+            if len(sess["ids"][sf]) > self.max_seq_len:
+                sess["ids"][sf] = sess["ids"][sf][-self.max_seq_len :]
+            delta.extend(ids)
+        # guard on the PADDED bucket size: the extension write is a
+        # dynamic_update_slice of _bucket(len(delta)) rows, and XLA clamps
+        # out-of-range starts (which would silently corrupt earlier slots)
+        if (
+            fresh
+            or sess["cache"] is None
+            or sess["count"] + (_bucket(len(delta)) if delta else 0) > self.slack
+        ):
+            self.refresh_session(session_id)
+        elif delta:
+            self._append_delta(sess, delta)
 
-    def _session_s_tokens(self, session_id):
-        """Assemble [S1; SEP; S2; ...; Sn] token tensor + validity from the
-        cached per-item vectors (left-padded per sequence)."""
-        sess = self._sessions.get(session_id)
-        d = self.cfg.embed_dim
-        l = self.max_seq_len
-        sep = np.asarray(
-            self.params["params"]["tokenizer"]["sep_token"], dtype=np.float32
+    def _append_delta(self, sess, ids: List[int]) -> None:
+        n = len(ids)
+        db = _bucket(n)
+        padded = np.zeros((1, db), dtype=np.int64)
+        padded[0, :n] = ids
+        toks = self._embed_items(self.params, jnp.asarray(padded))  # [1,db,d]
+        valid = np.zeros((1, db), dtype=bool)
+        valid[0, :n] = True
+        ek, ev, _cnt = self._extend(
+            self.params,
+            sess["cache"],
+            sess["ext_k"],
+            sess["ext_v"],
+            jnp.asarray(sess["count"], jnp.int32),
+            toks,
+            jnp.asarray(valid),
         )
-        toks, valid = [], []
-        names = list(self.cfg.sequence_features)
-        for i, sf in enumerate(names):
-            t = np.zeros((l, d), dtype=np.float32)
-            v = np.zeros(l, dtype=bool)
-            if sess is not None and sess[sf]["tokens"] is not None:
-                cached = sess[sf]["tokens"][-l:]
-                t[l - len(cached):] = cached
-                v[l - len(cached):] = True
-            toks.append(t)
-            valid.append(v)
-            if i < len(names) - 1:
-                toks.append(sep[None, :])
-                valid.append(np.ones(1, dtype=bool))
-        s = np.concatenate(toks, axis=0)[None]  # [1, Ls, d]
-        sv = np.concatenate(valid)[None]  # [1, Ls]
-        return jnp.asarray(s), jnp.asarray(sv)
+        sess["ext_k"], sess["ext_v"] = ek, ev
+        sess["count"] += n
 
     def score_session(
         self,
         session_id,
         user_context: Dict[str, int],
         candidates: List[Dict[str, int]],
+        new_items: Optional[Dict[str, Sequence[int]]] = None,
     ) -> List[Dict[str, float]]:
-        """KV-cached scoring over the session store: S tokens come from the
-        append-only cache; per-layer S K/V encoded once; NS per candidate."""
+        """Score candidates against the session's cached per-layer S K/V —
+        O(C) NS-only work, zero S re-encoding. Pass ``new_items`` to fold the
+        append into the same request (still ONE host↔device fetch: the
+        append step and the scoring dispatch pipeline asynchronously).
+
+        With ``cfg.use_kv_cache`` off, falls back to the full forward over
+        the session's id windows (the measured-slower baseline)."""
         t0 = time.perf_counter()
-        s, sv = self._session_s_tokens(session_id)
-        cache = self._encode_s_tokens(self.params, s, sv)
+        if new_items:
+            self.update_session(session_id, new_items)
+        if self._sessions.get(session_id) is None:
+            self.update_session(session_id, {})
+        sess = self._sessions[session_id]
         n = len(candidates)
         b = _bucket(n)
         cand = candidates + [candidates[-1]] * (b - n)
         rows = [dict(user_context, **c) for c in cand]
         ns = self._non_seq_arrays(rows)
-        probs = np.asarray(self._probs_cached(self.params, cache, ns))
+        if not self.cfg.use_kv_cache:
+            seqs, sv = self.preprocess_sequences(sess["ids"])
+            tiled = {sf: jnp.broadcast_to(v, (b,) + v.shape[1:])
+                     for sf, v in seqs.items()}
+            tiled_v = {sf: jnp.broadcast_to(v, (b,) + v.shape[1:])
+                       for sf, v in sv.items()}
+            probs = np.asarray(self._probs_fwd(self.params, ns, tiled, tiled_v))
+        else:
+            probs = np.asarray(
+                self._probs_cached_ext(
+                    self.params,
+                    sess["cache"],
+                    sess["ext_k"],
+                    sess["ext_v"],
+                    jnp.asarray(sess["count"], jnp.int32),
+                    ns,
+                )
+            )
         self._record(t0, ok=True)
         return [{t: float(probs[j][i]) for j, t in enumerate(self.cfg.tasks)}
                 for i in range(n)]
+
+    def session_memory_mb(self) -> float:
+        """Device bytes held by all session KV caches (the Table-5 'memory'
+        axis of the cross-request cache)."""
+        total = 0
+        for sess in self._sessions.values():
+            for leaf in jax.tree_util.tree_leaves(
+                (sess.get("cache"), sess.get("ext_k"), sess.get("ext_v"))
+            ):
+                total += getattr(leaf, "nbytes", 0)
+        return total / (1024.0 * 1024.0)
 
     # -- stats (reference :186-219) ----------------------------------------
     def _record(self, t0: float, ok: bool) -> None:

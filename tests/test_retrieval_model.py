@@ -90,4 +90,6 @@ def test_interests_at_position_slices_all_positions(small_setup):
     )
     assert single.shape == (4, cfg.num_query_tokens, cfg.embed_dim)
     expected = np.stack([np.asarray(outs)[b, int(p)] for b, p in enumerate(pos)])
-    np.testing.assert_allclose(np.asarray(single), expected, atol=1e-6)
+    # the single-position pass attends over (T+k)² instead of (T(1+k))²:
+    # identical math, different reduction shapes → f32 ordering noise ~1e-6
+    np.testing.assert_allclose(np.asarray(single), expected, atol=1e-5)
