@@ -48,6 +48,13 @@ def main():
         seq_item_feature_dim=128,
         use_sparse_embedding_updates=True,
         sparse_update_mode="rowwise",
+        # sparse_scatter_budget deliberately OFF here: at V=1M the 178k-row
+        # scatter is ~3.8 ms and BOTH compaction variants lose (on-device:
+        # 12,209 ex/s — its index-building scatter costs more than it saves;
+        # host-precomputed indices: 12,329 ex/s — the grad gather breaks the
+        # grad-production→scatter fusion). Compaction wins at V=10M where the
+        # scatter+accum round-trip is ~8.5 ms: flagship retrieval 27.6 →
+        # 21.0 ms with budget 16,384 (docs/PERF.md).
         # Pallas flash band-attention kernel: +6% at these sizes after the
         # whole-tile small-kv path (38.5 vs 40.8 ms/step A/B — the
         # 13,180 ex/s headline run in BASELINE.md/PERF.md)

@@ -110,6 +110,12 @@ class RetrievalConfig:
     # "exact" (dedup + per-coordinate adagrad, optax-parity) or "rowwise"
     # (no-sort scatter, one accumulator scalar per row — production default)
     sparse_update_mode: str = "exact"
+    # >0: compact history-grad rows to this static budget before the sparse
+    # scatter (XLA scatter cost scales with update-array LENGTH, not writes
+    # — ops/sparse_embed.compact_valid_rows). Set ≥ the dataset's max
+    # per-batch real-row count; overflow rows are dropped and reported as
+    # the sparse_dropped_rows metric.
+    sparse_scatter_budget: int = 0
 
     def schedule_specs(self) -> List[CompressionGroupSpec]:
         return [CompressionGroupSpec(l, g) for l, g in self.compression_schedule]
@@ -207,6 +213,9 @@ class RankingConfig:
     # "rowwise": no-sort scatter-add + one accumulator scalar per row (the
     # production TPU-embedding optimizer) — much faster; [V] opt state.
     sparse_update_mode: str = "exact"
+    # >0: compact sequence-grad rows to this static budget before the sparse
+    # scatter (see RetrievalConfig.sparse_scatter_budget)
+    sparse_scatter_budget: int = 0
     param_dtype: str = "float32"
     compute_dtype: str = "bfloat16"
     # storage dtype of the big id-embedding tables (gathers/scatters are

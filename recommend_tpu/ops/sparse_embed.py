@@ -43,6 +43,44 @@ def make_dummy(ids_shape: Tuple[int, ...], dim: int, dtype) -> jax.Array:
     return jnp.zeros(ids_shape + (dim,), dtype=dtype)
 
 
+def compact_valid_rows(
+    ids: jax.Array,  # [N] int
+    grads: jax.Array,  # [N, D]
+    valid: jax.Array,  # [N] bool
+    budget: int,
+    vocab: int,
+) -> Tuple[jax.Array, jax.Array, jax.Array]:
+    """Stable-compact the valid (id, grad) rows into a [budget] buffer.
+
+    Why: XLA's scatter cost scales with the UPDATE ARRAY length, not the
+    number of effective writes — remapping padded rows to an out-of-range
+    sentinel does NOT skip them (measured on v5e at flagship shapes:
+    65.8k-row scatter into [10M,128] = 6.9 ms whether or not 88% are
+    sentinels; the same scatter with the update array physically compacted
+    to 8,192 rows = 2.7 ms). Validity is known from the sequence lengths
+    BEFORE the step, so the real rows can be packed into a static-shape
+    buffer: one cumsum + two cheap scalar scatters + one row gather.
+
+    Rows beyond ``budget`` are dropped (choose budget ≥ the dataset's max
+    per-batch real-row count; the returned ``n_dropped`` lets the caller
+    surface overflow as a metric instead of failing silently). Invalid and
+    overflow slots come back with id == ``vocab`` (the scatter-drop
+    sentinel) and zero gradients.
+    """
+    n = ids.shape[0]
+    pos = jnp.cumsum(valid.astype(jnp.int32)) - 1
+    dest = jnp.where(valid, pos, budget)  # budget ⇒ dropped by scatter
+    src = jnp.full((budget,), n, jnp.int32).at[dest].set(
+        jnp.arange(n, dtype=jnp.int32), mode="drop"
+    )
+    ok = src < n
+    safe = jnp.minimum(src, n - 1)
+    ids_c = jnp.where(ok, jnp.take(ids, safe), vocab).astype(ids.dtype)
+    g_c = jnp.take(grads, safe, axis=0) * ok[:, None].astype(grads.dtype)
+    n_dropped = jnp.maximum(jnp.sum(valid.astype(jnp.int32)) - budget, 0)
+    return ids_c, g_c, n_dropped
+
+
 def dedup_sum(
     ids: jax.Array,  # [N] int
     grads: jax.Array,  # [N, D]

@@ -74,3 +74,22 @@ def shard_batch(mesh: Mesh, batch: Any) -> Any:
 
 def replicated(mesh: Mesh) -> NamedSharding:
     return NamedSharding(mesh, P())
+
+
+def accum_sharding(mesh: Mesh, accum) -> NamedSharding:
+    """Sharding for a sparse-optimizer accumulator so it lives WITH its
+    table's rows: [V] (rowwise mode) → P('model'); [V, D] (exact mode) →
+    P('model', None); small tables replicated — mirroring `param_spec`'s
+    row-sharding rule so the touched-row update never moves accumulator
+    rows across chips."""
+    m = mesh.shape.get("model", 1)
+    if m > 1 and accum.shape[0] >= ROW_SHARD_MIN_VOCAB:
+        spec = P("model") if accum.ndim == 1 else P("model", None)
+        return NamedSharding(mesh, spec)
+    return NamedSharding(mesh, P())
+
+
+def shard_accums(mesh: Mesh, accums: Any) -> Any:
+    return jax.tree_util.tree_map(
+        lambda a: jax.device_put(a, accum_sharding(mesh, a)), accums
+    )

@@ -132,17 +132,52 @@ class RankingTrainer:
             )
             new_tables = dict(tables)
             new_accums = dict(accums)
+            dropped = jnp.zeros((), jnp.int32)
             # shared item table: concat ids/grads across behavior sequences
             seq_names = [sf for sf in cfg.sequence_features
                          if f"seq_{sf}" in dummy_grads]
             if seq_names:
+                # padded positions carry exactly-zero gradients (they are
+                # masked as attention keys and feed nothing); remap their ids
+                # to the out-of-range sentinel so the scatter drops the
+                # WRITES, and — the actual win — physically compact the real
+                # rows to cfg.sparse_scatter_budget when set (XLA scatter
+                # cost scales with update-array length, docs/PERF.md)
+                item_vocab = cfg.vocab_size("item_id")
                 ids = jnp.concatenate(
-                    [batch["sequences"][sf].reshape(-1) for sf in seq_names]
+                    [
+                        jnp.where(
+                            batch["seq_valid"][sf],
+                            batch["sequences"][sf],
+                            item_vocab,
+                        ).reshape(-1)
+                        for sf in seq_names
+                    ]
                 )
                 g = jnp.concatenate(
                     [dummy_grads[f"seq_{sf}"].reshape(-1, cfg.seq_item_feature_dim)
                      for sf in seq_names]
                 )
+                src = batch.get("sparse_scatter_src")
+                if src is not None:
+                    # host-precomputed compaction (see _put_batch): the
+                    # device only gathers the real rows — no on-device
+                    # index-building scatter
+                    n = ids.shape[0]
+                    ok = src < n
+                    safe = jnp.minimum(src, n - 1)
+                    ids = jnp.where(ok, jnp.take(ids, safe), item_vocab)
+                    g = jnp.take(g, safe, axis=0) * ok[:, None].astype(g.dtype)
+                    dropped = batch["sparse_overflow"]
+                elif 0 < cfg.sparse_scatter_budget < ids.shape[0]:
+                    from recommend_tpu.ops.sparse_embed import compact_valid_rows
+
+                    valid = jnp.concatenate(
+                        [batch["seq_valid"][sf].reshape(-1) for sf in seq_names]
+                    )
+                    ids, g, dropped = compact_valid_rows(
+                        ids, g, valid, cfg.sparse_scatter_budget, item_vocab
+                    )
                 table, accum = update(
                     tables["embed_seq_item"],
                     accums["embed_seq_item"], ids, g, cfg.sparse_lr,
@@ -157,7 +192,7 @@ class RankingTrainer:
                 )
                 new_tables[key] = table
                 new_accums[key] = accum
-            return new_tables, new_accums
+            return new_tables, new_accums, dropped
 
         @partial(jax.jit, donate_argnums=(0,))
         def train_step(state: TrainState, batch, rng):
@@ -173,11 +208,13 @@ class RankingTrainer:
                     gdense, optax_state, dense_params
                 )
                 dense_params = optax.apply_updates(dense_params, updates)
-                tables, accums = apply_sparse_updates(
+                tables, accums, dropped = apply_sparse_updates(
                     tables, accums, gdummies, batch
                 )
                 params = merge_tables(dense_params, tables)
                 metrics["grad_norm"] = optax.global_norm(gdense)
+                if cfg.sparse_scatter_budget > 0:
+                    metrics["sparse_dropped_rows"] = dropped
                 return (
                     TrainState(params, (optax_state, accums), state.step + 1),
                     metrics,
@@ -212,7 +249,35 @@ class RankingTrainer:
         if self.mesh is not None:
             from recommend_tpu.parallel.sharding import shard_batch
 
+            # host-side compaction indices are global, which conflicts with
+            # shard_batch's leading-dim sharding — the mesh path uses the
+            # on-device compaction fallback instead
             return shard_batch(self.mesh, batch)
+        cfg = self.cfg
+        if (
+            cfg.use_sparse_embedding_updates
+            and cfg.sparse_scatter_budget > 0
+            and batch.get("sequences")
+        ):
+            # precompute the sparse-scatter compaction on HOST (validity is
+            # known before the step; numpy flatnonzero over ~178k bools is
+            # ~0.5 ms and overlaps the async device step) — the device then
+            # only gathers the real grad rows (docs/PERF.md)
+            seq_names = [
+                sf for sf in cfg.sequence_features if sf in batch["sequences"]
+            ]
+            valid = np.concatenate(
+                [np.asarray(batch["seq_valid"][sf]).reshape(-1)
+                 for sf in seq_names]
+            )
+            src = np.flatnonzero(valid).astype(np.int32)
+            budget = cfg.sparse_scatter_budget
+            overflow = max(len(src) - budget, 0)
+            out = np.full(budget, len(valid), np.int32)
+            out[: min(len(src), budget)] = src[:budget]
+            batch = dict(batch)
+            batch["sparse_scatter_src"] = out
+            batch["sparse_overflow"] = np.int32(overflow)
         return _device_batch(batch)
 
     def init_state(self, rng: jax.Array, sample_batch: Dict) -> TrainState:
@@ -259,6 +324,12 @@ class RankingTrainer:
                     for name, sub in tok.items()
                     if isinstance(sub, dict) and "embedding" in sub
                 }
+            if self.mesh is not None:
+                from recommend_tpu.parallel.sharding import shard_accums
+
+                # accumulators live row-aligned with their (possibly
+                # row-sharded) tables — no cross-chip moves in the update
+                accums = shard_accums(self.mesh, accums)
             opt_state = (opt_state, accums)
         state = TrainState(params, opt_state, jnp.zeros((), jnp.int32))
         if self.ckpt is not None:

@@ -177,6 +177,7 @@ class RetrievalTrainer:
             )
 
         num_mask = max(1, min(8, tail_r - 1))
+        self._tail_r, self._num_mask = tail_r, num_mask
 
         def _mask_positions(dropout_rng, b):
             """[B, M] absolute raw positions within the uncompressed tail.
@@ -280,12 +281,39 @@ class RetrievalTrainer:
                 tgt_feats = batch["target"]
             new_tables = dict(tables)
             new_accums = dict(accums)
-            for name in SPARSE_TABLES:
-                ids = jnp.concatenate(
+            # padded history positions carry exactly-zero gradients; remap
+            # their ids to the out-of-range sentinel so the scatter DROPS
+            # them. At the reference's 10-50 real items in a 256 window this
+            # removes >80% of the scatter rows (the top step cost after the
+            # table split, docs/PERF.md). Same for seq2seq targets (shifted
+            # validity); single/masked targets are always real items.
+            hist_valid = batch["history_valid"]
+            if self.mode == "seq2seq":
+                tgt_valid = jnp.concatenate(
                     [
-                        batch["history"][name].reshape(-1),
-                        tgt_feats[name].reshape(-1),
-                    ]
+                        hist_valid[:, cfg.max_seq_len - tail_r + 1 :],
+                        jnp.ones((hist_valid.shape[0], 1), dtype=bool),
+                    ],
+                    axis=1,
+                )
+            else:
+                tgt_valid = None  # all valid
+            vocab_of = {
+                "video_id": cfg.video_vocab_size,
+                "category": cfg.category_vocab_size,
+                "tag": cfg.tag_vocab_size,
+            }
+            dropped = jnp.zeros((), jnp.int32)
+            for name in SPARSE_TABLES:
+                sentinel = vocab_of[name]
+                hist_ids = jnp.where(
+                    hist_valid, batch["history"][name], sentinel
+                )
+                tgt_ids = tgt_feats[name]
+                if tgt_valid is not None:
+                    tgt_ids = jnp.where(tgt_valid, tgt_ids, sentinel)
+                ids = jnp.concatenate(
+                    [hist_ids.reshape(-1), tgt_ids.reshape(-1)]
                 )
                 g = jnp.concatenate(
                     [
@@ -293,13 +321,46 @@ class RetrievalTrainer:
                         dummy_grads["tgt"][name].reshape(-1, cfg.embed_dim),
                     ]
                 )
+                src = batch.get("sparse_scatter_src")
+                if src is not None:
+                    # host-precomputed compaction (see _put_batch)
+                    n = ids.shape[0]
+                    ok = src < n
+                    safe = jnp.minimum(src, n - 1)
+                    ids = jnp.where(ok, jnp.take(ids, safe), sentinel)
+                    g = jnp.take(g, safe, axis=0) * ok[:, None].astype(g.dtype)
+                    dropped = jnp.maximum(
+                        dropped, batch["sparse_overflow"].astype(jnp.int32)
+                    )
+                elif 0 < cfg.sparse_scatter_budget < ids.shape[0]:
+                    # physically compact real rows to the static budget —
+                    # the scatter's cost scales with update-array length,
+                    # not effective writes (ops/sparse_embed.compact_valid_rows)
+                    from recommend_tpu.ops.sparse_embed import compact_valid_rows
+
+                    valid = jnp.concatenate(
+                        [
+                            hist_valid.reshape(-1),
+                            (
+                                tgt_valid.reshape(-1)
+                                if tgt_valid is not None
+                                else jnp.ones(
+                                    (tgt_ids.reshape(-1).shape[0],), bool
+                                )
+                            ),
+                        ]
+                    )
+                    ids, g, dr = compact_valid_rows(
+                        ids, g, valid, cfg.sparse_scatter_budget, sentinel
+                    )
+                    dropped = jnp.maximum(dropped, dr)
                 table, accum = update(
                     tables[name], accums[name], ids, g,
                     cfg.sparse_embedding_lr,
                 )
                 new_tables[name] = table
                 new_accums[name] = accum
-            return new_tables, new_accums
+            return new_tables, new_accums, dropped
 
         @partial(jax.jit, donate_argnums=(0,))
         def train_step(state: TrainState, batch, rng) -> tuple:
@@ -322,11 +383,13 @@ class RetrievalTrainer:
                     grads, optax_state, dense_params
                 )
                 dense_params = optax.apply_updates(dense_params, updates)
-                tables, accums = apply_sparse_updates(
+                tables, accums, dropped = apply_sparse_updates(
                     tables, accums, dgrads, batch, dropout_rng
                 )
                 params = merge_tables(dense_params, tables)
                 metrics["grad_norm"] = optax.global_norm(grads)
+                if cfg.sparse_scatter_budget > 0:
+                    metrics["sparse_dropped_rows"] = dropped
                 return (
                     TrainState(params, (optax_state, accums), state.step + 1),
                     metrics,
@@ -362,7 +425,34 @@ class RetrievalTrainer:
         if self.mesh is not None:
             from recommend_tpu.parallel.sharding import shard_batch
 
+            # host compaction indices are global — mesh path uses the
+            # on-device compaction fallback
             return shard_batch(self.mesh, batch)
+        cfg = self.cfg
+        if cfg.use_sparse_embedding_updates and cfg.sparse_scatter_budget > 0:
+            # precompute sparse-scatter compaction on HOST: validity is known
+            # from the batch before the step (docs/PERF.md). Layout mirrors
+            # apply_sparse_updates: [history rows ; target rows].
+            hv = np.asarray(batch["history_valid"])
+            b, l = hv.shape
+            r = self._tail_r
+            if self.mode == "seq2seq":
+                tv = np.concatenate(
+                    [hv[:, l - r + 1 :], np.ones((b, 1), bool)], axis=1
+                )
+            elif self.mode == "masked":
+                tv = np.ones((b, self._num_mask), bool)
+            else:
+                tv = np.ones((b, 1), bool)
+            valid = np.concatenate([hv.reshape(-1), tv.reshape(-1)])
+            src = np.flatnonzero(valid).astype(np.int32)
+            budget = cfg.sparse_scatter_budget
+            overflow = max(len(src) - budget, 0)
+            out = np.full(budget, len(valid), np.int32)
+            out[: min(len(src), budget)] = src[:budget]
+            batch = dict(batch)
+            batch["sparse_scatter_src"] = out
+            batch["sparse_overflow"] = np.int32(overflow)
         return _device_batch(batch)
 
     def init_state(self, rng: jax.Array, sample_batch: Dict) -> TrainState:
@@ -407,6 +497,12 @@ class RetrievalTrainer:
                     )
                     for name in SPARSE_TABLES
                 }
+            if self.mesh is not None:
+                from recommend_tpu.parallel.sharding import shard_accums
+
+                # accumulators live row-aligned with their (possibly
+                # row-sharded) tables — no cross-chip moves in the update
+                accums = shard_accums(self.mesh, accums)
             opt_state = (opt_state, accums)
         state = TrainState(params, opt_state, jnp.zeros((), jnp.int32))
         if self.ckpt is not None:

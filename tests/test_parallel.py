@@ -313,3 +313,93 @@ def test_multihost_init_zero_arg_is_noop():
     from recommend_tpu.parallel.mesh import multihost_init
 
     multihost_init()  # single-process auto-detect: must not raise
+
+
+def _sparse_flagship_cfg(mode: str):
+    return tiny_ranking_cfg(
+        batch_size=8,
+        use_sparse_embedding_updates=True,
+        sparse_update_mode=mode,
+        feature_vocab_sizes=(
+            ("user_id", 100), ("age_bucket", 16), ("gender", 4), ("city", 32),
+            ("item_id", 16384),  # >= ROW_SHARD_MIN_VOCAB ⇒ row-sharded
+            ("category", 20), ("brand", 50), ("price_bucket", 16),
+            ("hour", 24), ("weekday", 7), ("device", 8),
+        ),
+    )
+
+
+@pytest.mark.slow
+@pytest.mark.parametrize("mode", ["rowwise", "exact"])
+def test_ranking_sparse_row_sharded_matches_single_device(devices, mode):
+    """THE flagship combination (VERDICT round-1 item 4): a row-sharded
+    [16,384-row] item table + touched-row sparse updates on a (data, model)
+    mesh. Two steps must match the single-device sparse step numerically —
+    scatter/sharding interactions are exactly where GSPMD can bite."""
+    cfg = _sparse_flagship_cfg(mode)
+    data = make_ranking_data(cfg, num_samples=64, max_seq_per_feature=8, seed=0)
+    batches = list(ranking_batches(data, cfg, batch_size=8, seed=0, num_epochs=1))[:2]
+
+    t1 = RankingTrainer(cfg)
+    s = t1.init_state(jax.random.key(0), batches[0])
+    for b in batches:
+        s, m1 = t1._train_step(s, t1._put_batch(b), jax.random.key(0))
+
+    mesh = make_mesh(data=4, model=2)
+    t2 = RankingTrainer(cfg, mesh=mesh)
+    d = t2.init_state(jax.random.key(0), batches[0])
+    # the big table must actually be row-sharded, and its accumulator must
+    # live row-aligned with it
+    tab = d.params["params"]["tokenizer"]["embed_item_id"]["embedding"]
+    assert tuple(tab.sharding.spec) == ("model", None), tab.sharding.spec
+    acc = d.opt_state[1]["embed_item_id"]
+    assert tuple(acc.sharding.spec)[:1] == ("model",), acc.sharding.spec
+    for b in batches:
+        d, m2 = t2._train_step(d, t2._put_batch(b), jax.random.key(0))
+
+    np.testing.assert_allclose(float(m1["loss"]), float(m2["loss"]), rtol=1e-5)
+    # updated tables and accumulators agree across the sharded/single runs
+    for key in ("embed_item_id", "embed_seq_item", "embed_user_id"):
+        if key not in s.opt_state[1]:
+            continue
+        np.testing.assert_allclose(
+            np.asarray(s.params["params"]["tokenizer"][key]["embedding"]),
+            np.asarray(d.params["params"]["tokenizer"][key]["embedding"]),
+            atol=2e-5,
+        )
+        np.testing.assert_allclose(
+            np.asarray(s.opt_state[1][key]),
+            np.asarray(d.opt_state[1][key]),
+            atol=2e-5,
+        )
+
+
+@pytest.mark.slow
+def test_retrieval_sparse_row_sharded_matches_single_device(devices):
+    """Retrieval flagship analog: row-sharded video table + rowwise sparse
+    updates on a (4, 2) mesh == single-device step."""
+    cfg = small_retrieval_cfg(
+        video_vocab_size=32768,
+        use_sparse_embedding_updates=True,
+        sparse_update_mode="rowwise",
+    )
+    data = make_retrieval_data(cfg, num_users=40, num_videos=300, seed=0)
+    batch = next(iter(retrieval_batches(data, cfg, batch_size=16, num_epochs=1)))
+
+    t1 = RetrievalTrainer(cfg, total_steps=10)
+    s0 = t1.init_state(jax.random.key(0), batch)
+    s1, m1 = t1._train_step(s0, t1._put_batch(batch), jax.random.key(0))
+
+    mesh = make_mesh(data=4, model=2)
+    t2 = RetrievalTrainer(cfg, total_steps=10, mesh=mesh)
+    d0 = t2.init_state(jax.random.key(0), batch)
+    tab = d0.params["params"]["embed"]["video_id"]["embedding"]
+    assert tuple(tab.sharding.spec) == ("model", None)
+    d1, m2 = t2._train_step(d0, t2._put_batch(batch), jax.random.key(0))
+
+    np.testing.assert_allclose(float(m1["loss"]), float(m2["loss"]), rtol=1e-5)
+    np.testing.assert_allclose(
+        np.asarray(s1.params["params"]["embed"]["video_id"]["embedding"]),
+        np.asarray(d1.params["params"]["embed"]["video_id"]["embedding"]),
+        atol=2e-5,
+    )

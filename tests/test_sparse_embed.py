@@ -322,3 +322,78 @@ def test_invalid_sparse_update_mode_rejected():
         get_config("retrieval_small", sparse_update_mode="row-wise")
     with pytest.raises(AssertionError):
         get_config("ranking_small", sparse_update_mode="ROWWISE")
+
+
+def test_compact_valid_rows_matches_direct():
+    """Compacted scatter == uncompacted scatter when budget covers all real
+    rows; overflow drops the tail and reports the count."""
+    import numpy as np
+
+    from recommend_tpu.ops.sparse_embed import (
+        compact_valid_rows,
+        sparse_rowwise_update_table,
+    )
+
+    rng = np.random.default_rng(0)
+    v, d, n = 64, 8, 40
+    ids = jnp.asarray(rng.integers(0, v, n))
+    g = jnp.asarray(rng.normal(size=(n, d)).astype(np.float32))
+    valid = jnp.asarray(rng.random(n) < 0.5)
+    g_masked = g * valid[:, None]  # padded rows carry zero grads in practice
+    ids_sent = jnp.where(valid, ids, v)
+
+    table0 = jnp.asarray(rng.normal(size=(v, d)).astype(np.float32))
+    acc0 = jnp.full((v,), 0.1, jnp.float32)
+    t_ref, a_ref = sparse_rowwise_update_table(table0, acc0, ids_sent, g_masked, 0.1)
+
+    ids_c, g_c, dropped = compact_valid_rows(ids, g_masked, valid, 32, v)
+    assert int(dropped) == 0
+    assert ids_c.shape == (32,) and g_c.shape == (32, d)
+    t_c, a_c = sparse_rowwise_update_table(table0, acc0, ids_c, g_c, 0.1)
+    np.testing.assert_allclose(np.asarray(t_c), np.asarray(t_ref), atol=1e-6)
+    np.testing.assert_allclose(np.asarray(a_c), np.asarray(a_ref), atol=1e-6)
+
+    # overflow: budget smaller than real count → first-budget kept, rest
+    # dropped + reported
+    n_real = int(valid.sum())
+    small = max(n_real - 3, 1)
+    ids_o, g_o, dropped_o = compact_valid_rows(ids, g_masked, valid, small, v)
+    assert int(dropped_o) == n_real - small
+    assert int(jnp.sum(ids_o < v)) == small
+
+
+def test_trainer_budget_matches_unbudgeted():
+    """Ranking trainer step with a covering sparse_scatter_budget must equal
+    the unbudgeted step (same loss, same tables)."""
+    import dataclasses
+
+    import numpy as np
+
+    from recommend_tpu.data.pipeline import ranking_batches
+    from recommend_tpu.data.synthetic import make_ranking_data
+    from recommend_tpu.training.ranking_trainer import RankingTrainer
+    from tests.test_ranking_model import tiny_ranking_cfg
+
+    cfg = tiny_ranking_cfg(
+        batch_size=8,
+        use_sparse_embedding_updates=True,
+        sparse_update_mode="rowwise",
+    )
+    data = make_ranking_data(cfg, num_samples=32, max_seq_per_feature=8, seed=0)
+    batch = next(iter(ranking_batches(data, cfg, batch_size=8, num_epochs=1)))
+
+    t1 = RankingTrainer(cfg)
+    s1 = t1.init_state(jax.random.key(0), batch)
+    s1, m1 = t1._train_step(s1, t1._put_batch(batch), jax.random.key(0))
+
+    cfg_b = dataclasses.replace(cfg, sparse_scatter_budget=128)
+    t2 = RankingTrainer(cfg_b)
+    s2 = t2.init_state(jax.random.key(0), batch)
+    s2, m2 = t2._train_step(s2, t2._put_batch(batch), jax.random.key(0))
+    assert int(m2["sparse_dropped_rows"]) == 0
+    np.testing.assert_allclose(float(m1["loss"]), float(m2["loss"]), rtol=1e-6)
+    np.testing.assert_allclose(
+        np.asarray(s1.params["params"]["tokenizer"]["embed_seq_item"]["embedding"]),
+        np.asarray(s2.params["params"]["tokenizer"]["embed_seq_item"]["embedding"]),
+        atol=1e-6,
+    )
