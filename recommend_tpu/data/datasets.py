@@ -302,7 +302,7 @@ def criteo_ranking_config(
     cat_feats = tuple(f"c{k}" for k in range(1, CRITEO_NUM_CAT + 1))
     vocab = tuple((f, num_buckets) for f in int_feats) + tuple(
         (f, cat_vocab) for f in cat_feats
-    ) + (("item_id", 2),)  # unused S-item table stub
+    )
     defaults = dict(
         user_features=(),
         item_features=int_feats,

@@ -66,9 +66,11 @@ def latency_benchmark(
     warmup: int = 5,
     batch_size: int = 1,
 ) -> Dict[str, float]:
-    mem_before = device_memory_stats()
     for _ in range(warmup):
         _sync(fn())
+    # snapshot AFTER warmup so memory_delta_mb reflects the steady-state
+    # working set of the timed iterations, not compile/first-touch allocation
+    mem_before = device_memory_stats()
     lats = []
     for _ in range(n_iters):
         t0 = time.perf_counter()

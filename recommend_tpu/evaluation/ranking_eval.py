@@ -125,6 +125,7 @@ class RankingEvaluator:
         metric: Optional[str] = None,
         bootstrap_samples: int = 1000,
         seed: int = 0,
+        bootstrap_sample_cap: int = 200_000,
     ) -> Dict[str, object]:
         """Simulated A/B comparison (reference evaluate.py:131-169) with two
         real statistics (the reference's "naive significance" replaced):
@@ -134,6 +135,11 @@ class RankingEvaluator:
           Bernoulli proportion of a common population under H0);
         - a bootstrap percentile CI on the primary-task AUC lift (the lift
           the paper actually reports), resampling each arm independently.
+
+        The bootstrap is O(B·n log n) on the host; each arm is subsampled
+        once (seeded) to ``bootstrap_sample_cap`` rows so multi-million-row
+        eval runs stay in seconds — the CI then reflects the capped sample,
+        which is conservative (wider) relative to the full arm.
         """
         metric = metric or f"{self.cfg.tasks[0]}_auc"
         control = self.evaluate(control_batches, return_arrays=True)
@@ -154,16 +160,23 @@ class RankingEvaluator:
         z = (p2 - p1) / se
         # bootstrap the AUC lift
         rng = np.random.default_rng(seed)
-        cp, cy = c_arrays[t0]
-        tp, ty = t_arrays[t0]
         diffs = []
-        for _ in range(bootstrap_samples):
-            ci = rng.integers(0, len(cp), len(cp))
-            ti = rng.integers(0, len(tp), len(tp))
-            a_c = exact_auc(cp[ci], cy[ci])
-            a_t = exact_auc(tp[ti], ty[ti])
-            if a_c == a_c and a_t == a_t:
-                diffs.append(a_t - a_c)
+        if t0 in c_arrays and t0 in t_arrays:  # either arm may be empty
+            cp, cy = c_arrays[t0]
+            tp, ty = t_arrays[t0]
+            if len(cp) > bootstrap_sample_cap:
+                keep = rng.choice(len(cp), bootstrap_sample_cap, replace=False)
+                cp, cy = cp[keep], cy[keep]
+            if len(tp) > bootstrap_sample_cap:
+                keep = rng.choice(len(tp), bootstrap_sample_cap, replace=False)
+                tp, ty = tp[keep], ty[keep]
+            for _ in range(bootstrap_samples):
+                ci = rng.integers(0, len(cp), len(cp))
+                ti = rng.integers(0, len(tp), len(tp))
+                a_c = exact_auc(cp[ci], cy[ci])
+                a_t = exact_auc(tp[ti], ty[ti])
+                if a_c == a_c and a_t == a_t:
+                    diffs.append(a_t - a_c)
         diffs = np.asarray(diffs)
         lo, hi = (
             (float(np.percentile(diffs, 2.5)), float(np.percentile(diffs, 97.5)))

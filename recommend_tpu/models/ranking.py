@@ -440,19 +440,15 @@ class RankingModel(nn.Module):
             if i + 1 >= n_layers or cache[i + 1] is None:
                 break
             q = blk.q_s(hx)
-            parts_k = [ext_k[i].astype(k_n.dtype), k_n]
-            parts_v = [ext_v[i].astype(v_n.dtype), v_n]
-            valids = [ext_valid, new_valid]
-            off = slack
-            if entry is not None:
-                k0, v0, sv0 = entry
-                parts_k.insert(0, k0.astype(k_n.dtype))
-                parts_v.insert(0, v0.astype(v_n.dtype))
-                valids.insert(0, sv0)
-                off += k0.shape[1]
-            k = jnp.concatenate(parts_k, axis=1)
-            v = jnp.concatenate(parts_v, axis=1)
-            kv_valid = jnp.concatenate(valids, axis=1)
+            k0, v0, sv0 = entry  # non-None: the loop breaks on None above
+            k = jnp.concatenate(
+                [k0.astype(k_n.dtype), ext_k[i].astype(k_n.dtype), k_n], axis=1
+            )
+            v = jnp.concatenate(
+                [v0.astype(v_n.dtype), ext_v[i].astype(v_n.dtype), v_n], axis=1
+            )
+            kv_valid = jnp.concatenate([sv0, ext_valid, new_valid], axis=1)
+            off = slack + k0.shape[1]
             attn = blk._attend(q, k, v, kv_valid, off)
             x = x + blk.o_proj(attn)
             x = x + blk._ffn_s(blk.ffn_norm(x))

@@ -46,25 +46,28 @@ class UnifiedTokenizer(nn.Module):
             )
             for f in cfg.non_seq_features
         }
-        self.item_embed = nn.Embed(
-            cfg.vocab_size("item_id"),
-            cfg.seq_item_feature_dim,
-            name="embed_seq_item",
-            param_dtype=tdt,
-            dtype=cdt,
-            embedding_init=nn.initializers.normal(stddev=0.02),
-        )
         self.ns_proj = nn.Dense(
             cfg.num_ns_tokens * cfg.embed_dim, name="ns_proj",
             param_dtype=pdt, dtype=cdt,
         )
-        self.seq_proj = nn.Dense(
-            cfg.embed_dim, name="seq_proj", param_dtype=pdt, dtype=cdt
-        )
-        self.sep_token = self.param(
-            "sep_token", nn.initializers.normal(stddev=0.02),
-            (cfg.embed_dim,), pdt,
-        )
+        # NS-only configs (e.g. Criteo: sequence_features=()) carry no
+        # phantom item table — the S-path modules simply don't exist.
+        if cfg.sequence_features:
+            self.item_embed = nn.Embed(
+                cfg.vocab_size("item_id"),
+                cfg.seq_item_feature_dim,
+                name="embed_seq_item",
+                param_dtype=tdt,
+                dtype=cdt,
+                embedding_init=nn.initializers.normal(stddev=0.02),
+            )
+            self.seq_proj = nn.Dense(
+                cfg.embed_dim, name="seq_proj", param_dtype=pdt, dtype=cdt
+            )
+            self.sep_token = self.param(
+                "sep_token", nn.initializers.normal(stddev=0.02),
+                (cfg.embed_dim,), pdt,
+            )
 
     def _lookup(self, emb: nn.Embed, ids: jax.Array, dummy) -> jax.Array:
         """Embedding gather; with a `dummy` zeros array the table is

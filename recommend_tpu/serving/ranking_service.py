@@ -285,8 +285,10 @@ class RankingInferenceEngine:
     # Exactness: at every refresh point `score_session` ≡ `score_request`
     # bit-for-bit (same compiled encode_s). Between refreshes, appended
     # entries are exact under frozen pyramid windows (see
-    # RankingModel.extend_s_cache); the engine refreshes automatically when
-    # the extension fills (`slack` appends), re-anchoring the windows.
+    # RankingModel.extend_s_cache); the engine re-anchors automatically at
+    # the half-full watermark (`slack`//2 filled slots) or when the sliding
+    # id window trims — dispatched AFTER the request's fetch on the
+    # `score_session` path so the re-encode never lands in the latency tail.
     # Appends are chronological (arrival order) regardless of which behavior
     # sequence they belong to — the segmented [S1;SEP;S2;...] layout is
     # restored at refresh. Token vectors are per-item and position-
@@ -311,10 +313,26 @@ class RankingInferenceEngine:
         sess["ext_k"], sess["ext_v"] = self._empty_ext()
         sess["count"] = 0
 
-    def update_session(self, session_id, new_items: Dict[str, Sequence[int]]) -> None:
+    def update_session(
+        self,
+        session_id,
+        new_items: Dict[str, Sequence[int]],
+        _defer_refresh: bool = False,
+    ) -> bool:
         """Append new behavior items to a session. Only the Δ new items are
         embedded and pushed through one per-layer K/V append step — O(ΔL)
-        per update (translation:144-151)."""
+        per update (translation:144-151).
+
+        A full re-anchor (`refresh_session`) fires when (a) there is no
+        usable cache or the extension buffer cannot hold the Δ — mandatory,
+        done here; or (b) the sliding-window trim evicted items the frozen
+        cache still holds, or the extension passed its half-full watermark —
+        *advisable*. With ``_defer_refresh`` (the `score_session` path) case
+        (b) is returned to the caller instead of executed, so the re-encode
+        is dispatched AFTER the request's probability fetch and its device
+        time overlaps inter-request idle instead of landing in the p99 tail
+        (paper Table 5 :252 credits the cross-request cache −29.6% p99).
+        Returns True iff a case-(b) refresh was deferred."""
         sess = self._sessions.get(session_id)
         fresh = sess is None
         if fresh:
@@ -325,17 +343,22 @@ class RankingInferenceEngine:
                 "ext_v": None,
                 "count": 0,
             }
+        # validate + convert BEFORE mutating: a bad request (unknown feature,
+        # non-int id) must leave the session unchanged
+        unknown = [sf for sf in new_items if sf not in sess["ids"]]
+        if unknown:
+            raise KeyError(f"unknown sequence feature(s) {unknown!r}")
+        converted = {sf: [int(i) for i in ids] for sf, ids in new_items.items()}
         delta: List[int] = []
-        for sf, ids in new_items.items():
-            ids = [int(i) for i in ids]
+        trimmed = False
+        for sf, ids in converted.items():
             if not ids:
                 continue
-            if sf not in sess["ids"]:
-                raise KeyError(f"unknown sequence feature {sf!r}")
             sess["ids"][sf].extend(ids)
             # sliding window: keep the most recent max_seq_len per sequence
             if len(sess["ids"][sf]) > self.max_seq_len:
                 sess["ids"][sf] = sess["ids"][sf][-self.max_seq_len :]
+                trimmed = True
             delta.extend(ids)
         # guard on the PADDED bucket size: the extension write is a
         # dynamic_update_slice of _bucket(len(delta)) rows, and XLA clamps
@@ -346,8 +369,18 @@ class RankingInferenceEngine:
             or sess["count"] + (_bucket(len(delta)) if delta else 0) > self.slack
         ):
             self.refresh_session(session_id)
-        elif delta:
+            return False
+        if delta:
             self._append_delta(sess, delta)
+        # trim ⇒ the frozen cache holds evicted items (score_session would
+        # attend over more history than the id window until re-anchored);
+        # watermark ⇒ keep headroom so the mandatory case never fires on the
+        # scoring path
+        want_refresh = trimmed or sess["count"] >= max(1, self.slack // 2)
+        if want_refresh and not _defer_refresh:
+            self.refresh_session(session_id)
+            return False
+        return want_refresh
 
     def _append_delta(self, sess, ids: List[int]) -> None:
         n = len(ids)
@@ -384,8 +417,11 @@ class RankingInferenceEngine:
         With ``cfg.use_kv_cache`` off, falls back to the full forward over
         the session's id windows (the measured-slower baseline)."""
         t0 = time.perf_counter()
+        deferred_refresh = False
         if new_items:
-            self.update_session(session_id, new_items)
+            deferred_refresh = self.update_session(
+                session_id, new_items, _defer_refresh=True
+            )
         if self._sessions.get(session_id) is None:
             self.update_session(session_id, {})
         sess = self._sessions[session_id]
@@ -413,6 +449,11 @@ class RankingInferenceEngine:
                 )
             )
         self._record(t0, ok=True)
+        if deferred_refresh:
+            # off the request path: probs are already fetched, so the
+            # re-encode's device time overlaps inter-request idle (dispatch
+            # is async — no host blocking here either)
+            self.refresh_session(session_id)
         return [{t: float(probs[j][i]) for j, t in enumerate(self.cfg.tasks)}
                 for i in range(n)]
 

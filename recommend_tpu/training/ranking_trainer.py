@@ -54,6 +54,16 @@ class RankingTrainer:
         self._auc = streaming_auc()
         sparse = cfg.use_sparse_embedding_updates
 
+        def seq_names_of(batch):
+            """THE sequence-feature row layout: every consumer of the
+            concatenated per-sequence grad rows (make_dummies,
+            apply_sparse_updates, _put_batch's host-side compaction indices)
+            derives it from this one predicate, so the global src indices can
+            never scatter against a diverging layout."""
+            return [sf for sf in cfg.sequence_features if sf in batch["sequences"]]
+
+        self._seq_names_of = seq_names_of
+
         def make_dummies(batch):
             """Zeros that receive per-lookup embedding gradients (the
             sparse-update path, recommend_tpu.ops.sparse_embed)."""
@@ -63,12 +73,11 @@ class RankingTrainer:
                     batch["non_seq"][f].shape + (cfg.feature_embed_dim,),
                     jnp.float32,
                 )
-            for sf in cfg.sequence_features:
-                if sf in batch["sequences"]:
-                    d[f"seq_{sf}"] = jnp.zeros(
-                        batch["sequences"][sf].shape + (cfg.seq_item_feature_dim,),
-                        jnp.float32,
-                    )
+            for sf in seq_names_of(batch):
+                d[f"seq_{sf}"] = jnp.zeros(
+                    batch["sequences"][sf].shape + (cfg.seq_item_feature_dim,),
+                    jnp.float32,
+                )
             return d
 
         # id-embedding tables maintained by the touched-row sparse path; they
@@ -134,8 +143,8 @@ class RankingTrainer:
             new_accums = dict(accums)
             dropped = jnp.zeros((), jnp.int32)
             # shared item table: concat ids/grads across behavior sequences
-            seq_names = [sf for sf in cfg.sequence_features
-                         if f"seq_{sf}" in dummy_grads]
+            # (row layout = seq_names_of, shared with _put_batch's indices)
+            seq_names = seq_names_of(batch)
             if seq_names:
                 # padded positions carry exactly-zero gradients (they are
                 # masked as attention keys and feed nothing); remap their ids
@@ -263,9 +272,7 @@ class RankingTrainer:
             # known before the step; numpy flatnonzero over ~178k bools is
             # ~0.5 ms and overlaps the async device step) — the device then
             # only gathers the real grad rows (docs/PERF.md)
-            seq_names = [
-                sf for sf in cfg.sequence_features if sf in batch["sequences"]
-            ]
+            seq_names = self._seq_names_of(batch)
             valid = np.concatenate(
                 [np.asarray(batch["seq_valid"][sf]).reshape(-1)
                  for sf in seq_names]
@@ -309,7 +316,6 @@ class RankingTrainer:
             opt_state = self.optimizer.init(opt_params)
         if self.cfg.use_sparse_embedding_updates:
             tok = params["params"]["tokenizer"]
-            # optax.adagrad's default initial accumulator (0.1) for exact parity
             # optax.adagrad's default initial accumulator (0.1) for parity;
             # rowwise mode keeps ONE scalar per row ([V], not [V, D])
             if self.cfg.sparse_update_mode == "rowwise":

@@ -527,3 +527,114 @@ def test_mesh_plus_quantize_warns(retrieval_setup):
         warnings.simplefilter("always")
         RetrievalIndex(cfg, model, params, mesh=FakeMesh(), quantize="int8")
     assert any("int8" in str(x.message) for x in w)
+
+
+def test_session_trim_triggers_refresh(ranking_engine):
+    """When the sliding id window trims, the frozen cache holds evicted
+    items; update_session must re-anchor so score_session matches
+    score_request on the trimmed window (the round-2 desync fix)."""
+    eng = RankingInferenceEngine(
+        ranking_engine.cfg, ranking_engine.params, max_seq_len=8, slack=16
+    )
+    user_ctx, _, _ = _features()
+    candidates = [_features(s)[1] for s in range(2)]
+    eng.update_session("t", {"click_seq": [1, 2, 3, 4, 5, 6, 7]})  # fills 7/8
+    eng.update_session("t", {"click_seq": [8, 9]})  # trims 1 → refresh
+    assert eng._sessions["t"]["count"] == 0  # re-anchored
+    assert eng._sessions["t"]["ids"]["click_seq"] == [2, 3, 4, 5, 6, 7, 8, 9]
+    via = eng.score_session("t", user_ctx, candidates)
+    direct = eng.score_request(
+        user_ctx, {"click_seq": [2, 3, 4, 5, 6, 7, 8, 9]}, candidates
+    )
+    for a, b in zip(direct, via):
+        for t in eng.cfg.tasks:
+            assert abs(a[t] - b[t]) < 1e-6, (t, a[t], b[t])
+
+
+def test_score_session_defers_refresh_off_request_path(ranking_engine):
+    """score_session folds the trim/watermark re-anchor in AFTER the
+    probability fetch: scores are served from the appended cache, then the
+    session is refreshed (count back to 0)."""
+    eng = RankingInferenceEngine(
+        ranking_engine.cfg, ranking_engine.params, max_seq_len=8, slack=4
+    )
+    user_ctx, _, _ = _features()
+    candidates = [_features(s)[1] for s in range(2)]
+    eng.update_session("d", {"click_seq": [1, 2, 3]})  # fresh → refresh
+    # watermark = slack//2 = 2: this append crosses it inside score_session
+    out = eng.score_session(
+        "d", user_ctx, candidates, new_items={"click_seq": [4, 5]}
+    )
+    assert len(out) == 2
+    # deferred refresh ran after scoring: session is re-anchored and exact
+    assert eng._sessions["d"]["count"] == 0
+    via = eng.score_session("d", user_ctx, candidates)
+    direct = eng.score_request(
+        user_ctx, {"click_seq": [1, 2, 3, 4, 5]}, candidates
+    )
+    for a, b in zip(direct, via):
+        for t in eng.cfg.tasks:
+            assert abs(a[t] - b[t]) < 1e-6, (t, a[t], b[t])
+
+
+def test_update_session_bad_request_leaves_session_unchanged(ranking_engine):
+    """An unknown sequence feature (or non-int id) must not partially mutate
+    the session's id windows."""
+    eng = RankingInferenceEngine(
+        ranking_engine.cfg, ranking_engine.params, max_seq_len=8
+    )
+    eng.update_session("v", {"click_seq": [1, 2], "cart_seq": [3]})
+    before = {k: list(v) for k, v in eng._sessions["v"]["ids"].items()}
+    with pytest.raises(KeyError, match="unknown sequence feature"):
+        eng.update_session("v", {"click_seq": [4], "bogus_seq": [5]})
+    assert eng._sessions["v"]["ids"] == before
+    with pytest.raises((TypeError, ValueError)):
+        eng.update_session("v", {"click_seq": [6], "cart_seq": ["junk-id"]})
+    assert eng._sessions["v"]["ids"] == before
+
+
+@pytest.mark.slow
+def test_session_drift_bounded_realistic_regime():
+    """VERDICT round-2 item 6: bound the Δ-append drift where the serving
+    bench actually operates — trained(-ish) params, window 64, pyramid
+    pruning ACTIVE, multi-sequence appends with Δ∈{1,2,4} spanning ≥2
+    refresh cycles. Every score_session is compared against a fresh
+    score_request over the session's current id windows; max |Δprob| must
+    stay under 1e-2."""
+    from recommend_tpu.training.ranking_trainer import RankingTrainer
+
+    cfg = tiny_ranking_cfg(batch_size=8)
+    data = make_ranking_data(cfg, num_samples=64, max_seq_per_feature=48, seed=0)
+    it = ranking_batches(data, cfg, batch_size=8, seed=0)
+    trainer = RankingTrainer(cfg)
+    state = trainer.train(it, num_steps=25, log_every=100)
+    eng = RankingInferenceEngine(cfg, state.params, max_seq_len=64, slack=16)
+
+    rng = np.random.default_rng(7)
+    user_ctx, _, _ = _features()
+    candidates = [_features(s)[1] for s in range(4)]
+    # seed a long history so pruning is active (3 seqs ≈ 100+ S tokens)
+    eng.update_session("r", {
+        "click_seq": rng.integers(0, 200, 40).tolist(),
+        "cart_seq": rng.integers(0, 200, 30).tolist(),
+        "purchase_seq": rng.integers(0, 200, 20).tolist(),
+    })
+    refreshes = 0
+    last_count = 0
+    worst = 0.0
+    for step in range(14):
+        delta_n = int(rng.choice([1, 2, 4]))
+        sf = ["click_seq", "cart_seq", "purchase_seq"][step % 3]
+        new = {sf: rng.integers(0, 200, delta_n).tolist()}
+        via = eng.score_session("r", user_ctx, candidates, new_items=new)
+        count = eng._sessions["r"]["count"]
+        if count < last_count or count == 0:
+            refreshes += 1
+        last_count = count
+        snapshot = {k: list(v) for k, v in eng._sessions["r"]["ids"].items()}
+        direct = eng.score_request(user_ctx, snapshot, candidates)
+        for a, b in zip(direct, via):
+            for t in cfg.tasks:
+                worst = max(worst, abs(a[t] - b[t]))
+    assert refreshes >= 2, refreshes
+    assert worst < 1e-2, worst
