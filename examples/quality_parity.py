@@ -1,0 +1,293 @@
+"""Quality-parity run on the statistical-replica dataset configs.
+
+THE reproducible script behind BASELINE.md's quality rows (VERDICT round-2
+item 1): no dataset file is reachable in this environment (zero egress), so
+quality is measured on full-scale statistical replicas of the BASELINE.json
+dataset configs (`recommend_tpu.data.replica`):
+
+  - ML-1M replica (retrieval): 6,040 users / 3,706 items / ≈1M events,
+    BERT4Rec leave-one-out protocol, full-corpus Recall@K / NDCG@K / MRR
+    vs a popularity baseline. Reference anchors: the kuaiformer README's
+    synthetic-data table (recall/bert_like/kuaiformer/practice/
+    README.md:135-144 — whose numbers come from an unrunnable script
+    evaluated on training data) and the paper's production HR@K
+    (translation/complete_translation.md:239-246).
+  - OneTrans industrial replica (ranking): scaled-down (~1000×) version of
+    the paper's setting (29.1B impressions / 27.9M users / 10.2M items,
+    translation:168-175); OneTrans-S-like model vs a sequence-agnostic
+    NS-only baseline (the DCNv2-class axis of Table 2, translation:199-207),
+    CTR/CVR AUC + UAUC on a train-on-past / eval-on-future split, plus the
+    generator's Bayes ceiling (AUC of the noise-free structural logit).
+
+Usage (real TPU):
+  PYTHONPATH=.:/root/.axon_site JAX_PLATFORMS=axon \
+      python examples/quality_parity.py --track both --output quality.json
+  --scale small  runs a fast smoke version (CI-sized).
+"""
+
+from __future__ import annotations
+
+import argparse
+import itertools
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import numpy as np
+
+
+def _log(msg: str) -> None:
+    print(f"[{time.strftime('%H:%M:%S')}] {msg}", flush=True)
+
+
+# ---------------------------------------------------------------------------
+# ML-1M replica track
+# ---------------------------------------------------------------------------
+
+def run_ml1m(scale: str, seed: int = 0) -> dict:
+    import jax
+
+    from recommend_tpu.config import get_config
+    from recommend_tpu.data.datasets import leave_one_out_split
+    from recommend_tpu.data.pipeline import prefetch, retrieval_batches
+    from recommend_tpu.data.replica import leave_one_out_batches, make_ml1m_replica
+    from recommend_tpu.evaluation.retrieval_eval import RetrievalEvaluator
+    from recommend_tpu.training.trainer import RetrievalTrainer
+
+    full_scale = scale == "full"
+    num_users = 6040 if full_scale else 300
+    steps = 8000 if full_scale else 120
+    batch = 256 if full_scale else 64
+    arch = {} if full_scale else dict(
+        embed_dim=64, num_layers=2, num_heads=2, ffn_dim=128,
+        max_seq_len=64, compression_schedule=((32, 16), (32, 1)),
+    )
+    cfg = get_config(
+        "retrieval_base",
+        video_vocab_size=4000,
+        category_vocab_size=20,
+        tag_vocab_size=512,
+        batch_size=batch,
+        warmup_steps=min(1000, steps // 4),
+        dropout_rate=0.1,
+        top_k=100,
+        **arch,
+    )
+    _log(f"ml1m-replica: generating ({num_users} users)")
+    data = make_ml1m_replica(cfg, num_users=num_users, seed=seed)
+    n_events = sum(len(s["video_id"]) for s in data.user_sequences)
+    train, test = leave_one_out_split(data)
+    _log(f"ml1m-replica: {n_events} events, training {steps} steps")
+
+    trainer = RetrievalTrainer(cfg, total_steps=steps)
+    t0 = time.time()
+    state = trainer.train(
+        prefetch(retrieval_batches(train, cfg, batch, seed=seed), size=4),
+        num_steps=steps,
+        log_every=max(steps // 10, 1),
+    )
+    train_s = time.time() - t0
+
+    evaluator = RetrievalEvaluator(cfg, trainer.model, state.params)
+    # leave-one-out: ONE sample per user, target = held-out last event
+    metrics = evaluator.evaluate_retrieval(
+        test, leave_one_out_batches(test, cfg, batch), ks=(1, 5, 10, 50, 100)
+    )
+    # popularity baseline under the same protocol
+    ks = (1, 5, 10, 50, 100)
+    order = np.argsort(-data.popularity)
+    pop_rank = np.empty(len(order), dtype=np.int64)
+    pop_rank[order] = np.arange(len(order))
+    targets = np.array(
+        [s["video_id"][-1] for s in test.user_sequences if len(s["video_id"]) >= 2]
+    )
+    pop_baseline = {
+        f"recall@{k}": float((pop_rank[targets] < k).mean()) for k in ks
+    }
+    return {
+        "config": "KuaiFormer-base 6L d=128 seq256→55 on ML-1M replica "
+                  f"({num_users} users, {n_events} events, leave-one-out)",
+        "scale": scale,
+        "train_steps": steps,
+        "train_seconds": round(train_s, 1),
+        "metrics": metrics,
+        "popularity_baseline": pop_baseline,
+        "reference_anchors": {
+            "readme_synthetic_recall@10": 0.352,
+            "readme_synthetic_recall@50": 0.681,
+            "readme_synthetic_ndcg@10": 0.285,
+            "anchor_note": "README numbers (kuaiformer practice/README.md:139-141)"
+                           " come from an unrunnable script evaluated on training"
+                           " data; paper production HR@K (translation:239-246) are"
+                           " against a 10M+-item corpus. Replica numbers use an"
+                           " honest held-out protocol on a 3.7k-item corpus —"
+                           " directly comparable only to the popularity baseline"
+                           " and across our own rounds.",
+        },
+    }
+
+
+# ---------------------------------------------------------------------------
+# OneTrans industrial replica track
+# ---------------------------------------------------------------------------
+
+def run_onetrans(scale: str, seed: int = 0) -> dict:
+    import jax
+
+    from recommend_tpu.config import get_config
+    from recommend_tpu.data.pipeline import prefetch, ranking_batches
+    from recommend_tpu.data.replica import make_onetrans_replica
+    from recommend_tpu.evaluation.ranking_eval import RankingEvaluator
+    from recommend_tpu.training.metrics import exact_auc
+    from recommend_tpu.training.ranking_trainer import RankingTrainer
+
+    full_scale = scale == "full"
+    # DENSITY-matched scaling (the honest axis): the paper's dataset has
+    # ≈1,043 impressions/user and ≈2,853/item (29.1B / 27.9M / 10.2M,
+    # translation:168-175). Shrinking only the impression count (round-2's
+    # plan) starves items to ~10 impressions each and nothing can learn the
+    # latent structure (measured: AUC stuck at 0.54). We preserve density
+    # (≈1,000/user, ≈2,500/item) at reduced cardinality; embedding-table
+    # CARDINALITY is exercised separately by the perf benches (V=1M/10M).
+    num_users = 5_000 if full_scale else 150
+    num_items = 2_000 if full_scale else 400
+    num_impressions = 5_000_000 if full_scale else 50_000
+    stream_kw = dict(stream_len_loc=4.8, stream_len_scale=0.8) if full_scale else {}
+    batch = 512 if full_scale else 128
+    epochs = 3
+
+    # bf16 matmuls are TPU-native; the CPU backend (small-scale smoke runs)
+    # lacks the BF16×BF16 dot kernel
+    on_tpu = jax.default_backend() not in ("cpu",)
+    base = dict(
+        embed_dim=256, num_layers=6, num_heads=2, ffn_dim=1024,
+        num_ns_tokens=12, pyramid_ratios=(0.5, 0.3, 0.2, 0.1, 0.05, 0.03),
+        batch_size=batch, use_mixed_precision=on_tpu, dropout_rate=0.0,
+        feature_embed_dim=128, seq_item_feature_dim=128,
+        use_sparse_embedding_updates=True, sparse_update_mode="rowwise",
+        use_flash_attention=on_tpu,
+        feature_vocab_sizes=(
+            ("user_id", num_users + 1), ("age_bucket", 16), ("gender", 4),
+            ("city", 32), ("item_id", num_items + 1), ("category", 200),
+            ("brand", 500), ("price_bucket", 16), ("hour", 24),
+            ("weekday", 7), ("device", 8),
+        ),
+        # the paper's production rmsprop(momentum .99999) diverges below
+        # ~100M samples (measured round 1) — adam for replica scale
+        dense_optimizer="adam", dense_lr=1e-3, dense_momentum=0.9,
+        sparse_lr=0.05,
+    )
+    cfg = get_config("ranking_base", **base)
+    _log(f"onetrans-replica: generating ({num_users}u/{num_items}i/"
+         f"{num_impressions} impressions)")
+    dbg = {}
+    t0 = time.time()
+    tr_data, ev_data = make_onetrans_replica(
+        cfg, num_users=num_users, num_items=num_items,
+        num_impressions=num_impressions, seed=seed, debug_out=dbg,
+        **stream_kw,
+    )
+    gen_s = time.time() - t0
+    ev_mask = dbg["is_eval"]
+    bayes = exact_auc(dbg["bayes_logit"][ev_mask], dbg["y_ctr"][ev_mask])
+    observable = exact_auc(dbg["observable_logit"][ev_mask], dbg["y_ctr"][ev_mask])
+    steps = epochs * (tr_data.num_samples // batch)
+    _log(f"onetrans-replica: train={tr_data.num_samples} eval="
+         f"{ev_data.num_samples} latent_bayes={bayes:.4f} "
+         f"observable_ceiling={observable:.4f} gen={gen_s:.0f}s; "
+         f"{steps} steps × batch {batch}")
+
+    def train_and_eval(cfg, tag):
+        t0 = time.time()
+        trainer = RankingTrainer(cfg)
+        state = trainer.train(
+            prefetch(ranking_batches(tr_data, cfg, batch, seed=seed), size=4),
+            num_steps=steps,
+            log_every=max(steps // 10, 1),
+        )
+        train_s = time.time() - t0
+        ev = RankingEvaluator(cfg, trainer.model, state.params)
+        n_eval_batches = ev_data.num_samples // batch
+        m = ev.evaluate(
+            itertools.islice(
+                ranking_batches(ev_data, cfg, batch, seed=1, num_epochs=1),
+                n_eval_batches,
+            )
+        )
+        _log(f"{tag}: " + json.dumps(
+            {k: round(v, 5) for k, v in m.items()
+             if "auc" in k or "uauc" in k or k == "num_samples"}))
+        m["train_seconds"] = round(train_s, 1)
+        m["examples_per_s"] = round(steps * batch / train_s, 1)
+        return m
+
+    full = train_and_eval(cfg, "OneTrans-S-like (full, sequences)")
+    cfg_ns = get_config("ranking_base", **dict(base, sequence_features=()))
+    ns = train_and_eval(cfg_ns, "NS-only baseline (DCNv2-class axis)")
+
+    lifts = {}
+    for k in ("ctr_auc", "ctr_uauc", "cvr_auc", "cvr_uauc"):
+        if k in full and k in ns and ns[k] == ns[k] and ns[k] != 0:
+            lifts[k] = round((full[k] - ns[k]) / abs(ns[k]) * 100, 3)
+    return {
+        "config": "OneTrans-S-like (6L d=256, 12 NS, pyramid, flash, sparse)"
+                  " on the industrial replica, train-on-past/eval-on-future",
+        "scale": scale,
+        "dataset": {
+            "num_users": num_users, "num_items": num_items,
+            "train_impressions": tr_data.num_samples,
+            "eval_impressions": ev_data.num_samples,
+            "latent_bayes_ctr_auc": round(float(bayes), 5),
+            "observable_ceiling_ctr_auc": round(float(observable), 5),
+            "scale_note": "density-matched replica of the paper's setting"
+                          " (29.1B/27.9M/10.2M, translation:168-175):"
+                          " impressions/user and impressions/item preserved"
+                          " at ~5800× lower cardinality; replica statistics,"
+                          " not real logs. The observable ceiling (oracle"
+                          " that sees history latents) is calibrated to the"
+                          " paper's CTR-AUC band; the meaningful comparisons"
+                          " are distance-to-ceiling and full-vs-NS-only"
+                          " lift. Embedding-table cardinality is exercised"
+                          " by the perf benches (V=1M/10M), not here.",
+        },
+        "onetrans": full,
+        "ns_only_baseline": ns,
+        "sequence_lift_pct": lifts,
+        "reference_anchors": {
+            "baseline_ctr_auc": 0.79623, "baseline_ctr_uauc": 0.71927,
+            "baseline_cvr_auc": 0.90361, "baseline_cvr_uauc": 0.71955,
+            "onetrans_L_lift_pct": {"ctr_auc": 1.53, "ctr_uauc": 2.79,
+                                    "cvr_auc": 1.14, "cvr_uauc": 3.23},
+            "source": "translation/complete_translation.md:199-207 (Table 2)",
+        },
+    }
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--track", choices=("ml1m", "onetrans", "both"),
+                    default="both")
+    ap.add_argument("--scale", choices=("small", "full"), default="full")
+    ap.add_argument("--seed", type=int, default=0)
+    ap.add_argument("--output", default=None)
+    args = ap.parse_args()
+
+    import jax
+
+    report = {"device": str(jax.devices()[0]), "seed": args.seed}
+    if args.track in ("ml1m", "both"):
+        report["ml1m_replica"] = run_ml1m(args.scale, args.seed)
+    if args.track in ("onetrans", "both"):
+        report["onetrans_replica"] = run_onetrans(args.scale, args.seed)
+    print(json.dumps(report, indent=2, default=float))
+    if args.output:
+        with open(args.output, "w") as f:
+            json.dump(report, f, indent=2, default=float)
+        _log(f"wrote {args.output}")
+
+
+if __name__ == "__main__":
+    main()

@@ -262,6 +262,25 @@ def retrieval_base() -> RetrievalConfig:
     return RetrievalConfig()
 
 
+def retrieval_flagship() -> RetrievalConfig:
+    """The production-scale KuaiFormer config the perf scoreboard tracks:
+    10M-video vocab (the paper's production corpus scale, translation:214),
+    256-item sequences compressed to 55 tokens, touched-row sparse updates.
+    `sparse_scatter_budget` is ON here — at V=10M the XLA scatter+accum
+    round-trip scales with the update-array LENGTH, and compacting the
+    ~59k-row gradient array to the 16,384 real rows is a measured step-time
+    win (examples/flagship_bench.py reproduces it; docs/PERF.md records it).
+    The budget covers the synthetic/industrial length distribution (mean ~30
+    of 256 positions real); overflow rows are dropped and surfaced via the
+    `sparse_dropped_rows` metric."""
+    return RetrievalConfig(
+        use_sparse_embedding_updates=True,
+        sparse_update_mode="rowwise",
+        sparse_scatter_budget=16_384,
+        use_flash_attention=False,  # 55-token streams: XLA path measured faster
+    )
+
+
 def retrieval_small() -> RetrievalConfig:
     return RetrievalConfig(
         embed_dim=64,
@@ -324,6 +343,7 @@ def ranking_large() -> RankingConfig:
 
 _PRESETS = {
     "retrieval_base": retrieval_base,
+    "retrieval_flagship": retrieval_flagship,
     "retrieval_small": retrieval_small,
     "ranking_base": ranking_base,
     "ranking_small": ranking_small,

@@ -189,18 +189,18 @@ def ranking_batches(
     n = data.num_samples
     rng = np.random.default_rng(seed)
     num_shards, shard_id = _resolve_shard(num_shards, shard_id)
-    # NS-only datasets (Criteo) have no behavior sequences
-    max_len = (
-        next(iter(data.sequences.values())).shape[1] if data.sequences else 0
-    )
+    # per-feature window widths (behavior sequences may be heterogeneous,
+    # e.g. click 48 / cart 16 / purchase 8 in the industrial replica);
+    # NS-only datasets (Criteo) have no behavior sequences at all
+    widths = {sf: a.shape[1] for sf, a in data.sequences.items()}
     epoch = 0
     while num_epochs is None or epoch < num_epochs:
         order = _shard_slice(rng.permutation(n), num_shards, shard_id)
         for i in range(0, len(order) - batch_size + 1, batch_size):
             idx = order[i : i + batch_size]
             seq_valid = {
-                sf: np.arange(max_len)[None, :]
-                >= (max_len - data.seq_lengths[sf][idx][:, None])
+                sf: np.arange(widths[sf])[None, :]
+                >= (widths[sf] - data.seq_lengths[sf][idx][:, None])
                 for sf in data.sequences
             }
             yield {

@@ -455,6 +455,78 @@ class RankingModel(nn.Module):
         n_new = jnp.sum(new_valid.astype(jnp.int32))
         return new_ext_k, new_ext_v, count + n_new
 
+    def pad_s_cache(
+        self,
+        cache: List[Optional[Tuple[jax.Array, jax.Array, jax.Array]]],
+        pad_rows: int,
+    ) -> List[Optional[Tuple[jax.Array, jax.Array, jax.Array]]]:
+        """Append ``pad_rows`` invalid rows to every layer's cached K/V —
+        pre-allocated space that `compact_s_cache` later fills in place. The
+        session cache thus keeps ONE static shape across its whole
+        refresh → append → compact lifecycle (XLA compiles each serving path
+        exactly once; masked rows cost only masked-attention FLOPs)."""
+        out: List[Optional[Tuple[jax.Array, jax.Array, jax.Array]]] = []
+        for entry in cache:
+            if entry is None:
+                out.append(None)
+                continue
+            k0, v0, sv0 = entry
+            b = sv0.shape[0]
+            zk = jnp.zeros(
+                (k0.shape[0], pad_rows) + k0.shape[2:], dtype=k0.dtype
+            )
+            out.append((
+                jnp.concatenate([k0, zk], axis=1),
+                jnp.concatenate([v0, zk.astype(v0.dtype)], axis=1),
+                jnp.concatenate(
+                    [sv0, jnp.zeros((b, pad_rows), dtype=bool)], axis=1
+                ),
+            ))
+        return out
+
+    def compact_s_cache(
+        self,
+        cache: List[Optional[Tuple[jax.Array, jax.Array, jax.Array]]],
+        ext_k: jax.Array,
+        ext_v: jax.Array,
+        count: jax.Array,
+        level: jax.Array,
+        pad_rows: int,
+    ) -> List[Optional[Tuple[jax.Array, jax.Array, jax.Array]]]:
+        """Fold full extension buffers into the base cache WITHOUT any trunk
+        recompute: per layer the extension's SLACK rows (validity-masked
+        beyond ``count``) are written into the cache's pre-allocated padding
+        (`pad_s_cache`) at slot ``level`` — a `dynamic_update_slice`, so the
+        shape never changes and every serving path keeps ONE compiled
+        variant. K/V entries are frozen (append-only cache semantics,
+        translation:144-151), so this is an EXACT identity on scoring — one
+        cheap device copy that frees the buffer for the next O(Δ) appends.
+        The serving engine re-anchors with a full `encode_s` after the
+        padding fills (`pad_rows // SLACK` compactions), capping
+        frozen-window drift."""
+        slack = ext_k.shape[2]
+        ext_valid = jnp.arange(slack)[None, :] < count  # [1, SLACK]
+        out: List[Optional[Tuple[jax.Array, jax.Array, jax.Array]]] = []
+        for i, entry in enumerate(cache):
+            if entry is None:
+                out.append(None)
+                continue
+            k0, v0, sv0 = entry
+            b = sv0.shape[0]
+            base_len = k0.shape[1] - pad_rows  # static per layer
+            off = base_len + level * slack
+            k = jax.lax.dynamic_update_slice(
+                k0, ext_k[i].astype(k0.dtype), (0, off, 0, 0)
+            )
+            v = jax.lax.dynamic_update_slice(
+                v0, ext_v[i].astype(v0.dtype), (0, off, 0, 0)
+            )
+            sv = jax.lax.dynamic_update_slice(
+                sv0, jnp.broadcast_to(ext_valid, (b, slack)), (0, off)
+            )
+            out.append((k, v, sv))
+        return out
+
     def score_with_cache_ext(
         self,
         cache: List[Optional[Tuple[jax.Array, jax.Array, jax.Array]]],

@@ -42,15 +42,21 @@ class RankingInferenceEngine:
         params,
         max_seq_len: int = 64,
         slack: int = 16,
+        refresh_every_compactions: int = 4,
     ):
         """``slack``: extension-buffer capacity of the cross-request session
-        cache — appends accumulate O(Δ)-cost until `slack` items, then the
-        session re-anchors with one full S encode (refresh)."""
+        cache — appends accumulate O(Δ)-cost until the buffer fills, then it
+        is folded into the base cache (`compact_s_cache`: one cheap copy, no
+        trunk recompute, exact). Every ``refresh_every_compactions`` folds
+        the session re-anchors with one full S encode (refresh), capping
+        cache length and frozen-window drift and dropping evicted ids —
+        dispatched off the scoring path."""
         self.cfg = cfg
         self.model = RankingModel(cfg)
         self.params = params
         self.max_seq_len = max_seq_len
         self.slack = slack
+        self.refresh_every_compactions = refresh_every_compactions
         self.stats_state = {
             "total": 0, "success": 0, "failure": 0, "ema_latency_ms": None,
         }
@@ -67,16 +73,36 @@ class RankingInferenceEngine:
                 p, cache, ns, method=RankingModel.score_with_cache
             )
         )
-        self._embed_items = jax.jit(
-            lambda p, ids: m.apply(
-                p, self.cfg.sequence_features[0], ids,
-                method=RankingModel.embed_sequence_items,
-            ),
+        # embed-Δ-items + per-layer K/V append in ONE dispatch — on a remote
+        # transport every dispatch costs host time, so the append path stays
+        # at one call
+        self._extend_ids = jax.jit(
+            lambda p, cache, ek, ev, cnt, ids, v: m.apply(
+                p, cache, ek, ev, cnt,
+                m.apply(
+                    p, self.cfg.sequence_features[0], ids,
+                    method=RankingModel.embed_sequence_items,
+                ),
+                v, method=RankingModel.extend_s_cache,
+            )
         )
-        self._extend = jax.jit(
-            lambda p, cache, ek, ev, cnt, x, v: m.apply(
-                p, cache, ek, ev, cnt, x, v,
-                method=RankingModel.extend_s_cache,
+        # session caches carry refresh_every_compactions·slack pre-allocated
+        # invalid rows; compaction dynamic-update-slices the extension into
+        # them, so session shapes are STATIC across the whole lifecycle
+        pad_rows = self.refresh_every_compactions * self.slack
+        self._pad_rows = pad_rows
+        self._encode_s_pad = jax.jit(
+            lambda p, seqs, sv: m.apply(
+                p,
+                m.apply(p, seqs, sv, method=RankingModel.encode_s),
+                pad_rows,
+                method=RankingModel.pad_s_cache,
+            )
+        )
+        self._compact = jax.jit(
+            lambda p, cache, ek, ev, cnt, lvl: m.apply(
+                p, cache, ek, ev, cnt, lvl, pad_rows,
+                method=RankingModel.compact_s_cache,
             )
         )
         # single-fetch probability paths: sigmoid on device, tasks stacked
@@ -285,10 +311,12 @@ class RankingInferenceEngine:
     # Exactness: at every refresh point `score_session` ≡ `score_request`
     # bit-for-bit (same compiled encode_s). Between refreshes, appended
     # entries are exact under frozen pyramid windows (see
-    # RankingModel.extend_s_cache); the engine re-anchors automatically at
-    # the half-full watermark (`slack`//2 filled slots) or when the sliding
-    # id window trims — dispatched AFTER the request's fetch on the
-    # `score_session` path so the re-encode never lands in the latency tail.
+    # RankingModel.extend_s_cache); full extension buffers FOLD into the
+    # base cache (`compact_s_cache` — an exact identity on scoring), and the
+    # engine re-anchors with a real re-encode only every
+    # `refresh_every_compactions` folds — dispatched AFTER the request's
+    # fetch on the `score_session` path so the re-encode never lands in the
+    # latency tail.
     # Appends are chronological (arrival order) regardless of which behavior
     # sequence they belong to — the segmented [S1;SEP;S2;...] layout is
     # restored at refresh. Token vectors are per-item and position-
@@ -309,9 +337,25 @@ class RankingInferenceEngine:
         semantics for the current history."""
         sess = self._sessions[session_id]
         seqs, sv = self.preprocess_sequences(sess["ids"])
-        sess["cache"] = self._encode_s(self.params, seqs, sv)
+        sess["cache"] = self._encode_s_pad(self.params, seqs, sv)
         sess["ext_k"], sess["ext_v"] = self._empty_ext()
         sess["count"] = 0
+        sess["compactions"] = 0
+
+    def _compact_session(self, sess) -> None:
+        """Fold the full extension into the base cache's pre-allocated
+        padding — one cheap in-place device copy (no trunk recompute, no
+        shape change, exact on scoring), freeing the buffer for the next
+        O(Δ) appends."""
+        assert sess["compactions"] < self.refresh_every_compactions
+        sess["cache"] = self._compact(
+            self.params, sess["cache"], sess["ext_k"], sess["ext_v"],
+            jnp.asarray(sess["count"], jnp.int32),
+            jnp.asarray(sess["compactions"], jnp.int32),
+        )
+        sess["ext_k"], sess["ext_v"] = self._empty_ext()
+        sess["count"] = 0
+        sess["compactions"] = sess.get("compactions", 0) + 1
 
     def update_session(
         self,
@@ -323,16 +367,21 @@ class RankingInferenceEngine:
         embedded and pushed through one per-layer K/V append step — O(ΔL)
         per update (translation:144-151).
 
-        A full re-anchor (`refresh_session`) fires when (a) there is no
-        usable cache or the extension buffer cannot hold the Δ — mandatory,
-        done here; or (b) the sliding-window trim evicted items the frozen
-        cache still holds, or the extension passed its half-full watermark —
-        *advisable*. With ``_defer_refresh`` (the `score_session` path) case
-        (b) is returned to the caller instead of executed, so the re-encode
-        is dispatched AFTER the request's probability fetch and its device
-        time overlaps inter-request idle instead of landing in the p99 tail
+        Cache maintenance ladder (cheapest first):
+          1. Δ-append into the extension buffer — every update (O(Δ·window)).
+          2. When the buffer cannot hold the Δ: fold it into the base cache
+             (`_compact_session` — one device copy, no recompute, EXACT on
+             scoring).
+          3. Every ``refresh_every_compactions`` folds: a full re-anchor
+             (`refresh_session` — one `encode_s`), restoring exact
+             `score_request` semantics, capping cache length, bounding
+             frozen-window drift, and dropping trim-evicted ids.
+        With ``_defer_refresh`` (the `score_session` path) step 3 is
+        returned to the caller instead of executed, so the re-encode is
+        dispatched AFTER the request's probability fetch and its device time
+        overlaps inter-request idle instead of landing in the p99 tail
         (paper Table 5 :252 credits the cross-request cache −29.6% p99).
-        Returns True iff a case-(b) refresh was deferred."""
+        Returns True iff a step-3 refresh was deferred."""
         sess = self._sessions.get(session_id)
         fresh = sess is None
         if fresh:
@@ -342,6 +391,7 @@ class RankingInferenceEngine:
                 "ext_k": None,
                 "ext_v": None,
                 "count": 0,
+                "compactions": 0,
             }
         # validate + convert BEFORE mutating: a bad request (unknown feature,
         # non-int id) must leave the session unchanged
@@ -350,33 +400,41 @@ class RankingInferenceEngine:
             raise KeyError(f"unknown sequence feature(s) {unknown!r}")
         converted = {sf: [int(i) for i in ids] for sf, ids in new_items.items()}
         delta: List[int] = []
-        trimmed = False
         for sf, ids in converted.items():
             if not ids:
                 continue
             sess["ids"][sf].extend(ids)
-            # sliding window: keep the most recent max_seq_len per sequence
+            # sliding window: keep the most recent max_seq_len per sequence;
+            # the cache ages evicted items out at the next compaction/refresh
             if len(sess["ids"][sf]) > self.max_seq_len:
                 sess["ids"][sf] = sess["ids"][sf][-self.max_seq_len :]
-                trimmed = True
             delta.extend(ids)
+        if fresh or sess["cache"] is None:
+            self.refresh_session(session_id)
+            return False
         # guard on the PADDED bucket size: the extension write is a
         # dynamic_update_slice of _bucket(len(delta)) rows, and XLA clamps
         # out-of-range starts (which would silently corrupt earlier slots)
-        if (
-            fresh
-            or sess["cache"] is None
-            or sess["count"] + (_bucket(len(delta)) if delta else 0) > self.slack
-        ):
+        db = _bucket(len(delta)) if delta else 0
+        if db > self.slack:
+            # Δ larger than the whole buffer — only a re-encode can host it
             self.refresh_session(session_id)
             return False
+        if sess["count"] + db > self.slack:
+            if sess["compactions"] >= self.refresh_every_compactions:
+                # padding exhausted (possible only when deferred re-anchors
+                # were repeatedly skipped) — re-encode now
+                self.refresh_session(session_id)
+            else:
+                self._compact_session(sess)
         if delta:
             self._append_delta(sess, delta)
-        # trim ⇒ the frozen cache holds evicted items (score_session would
-        # attend over more history than the id window until re-anchored);
-        # watermark ⇒ keep headroom so the mandatory case never fires on the
-        # scoring path
-        want_refresh = trimmed or sess["count"] >= max(1, self.slack // 2)
+        # periodic re-anchor: caps cache length, bounds frozen-window drift,
+        # and drops ids the sliding-window trim evicted (between re-anchors
+        # the cache may cover slightly older history than the id window —
+        # bounded by refresh_every_compactions · slack appends and pinned by
+        # the realistic-regime drift test)
+        want_refresh = sess["compactions"] >= self.refresh_every_compactions
         if want_refresh and not _defer_refresh:
             self.refresh_session(session_id)
             return False
@@ -387,16 +445,15 @@ class RankingInferenceEngine:
         db = _bucket(n)
         padded = np.zeros((1, db), dtype=np.int64)
         padded[0, :n] = ids
-        toks = self._embed_items(self.params, jnp.asarray(padded))  # [1,db,d]
         valid = np.zeros((1, db), dtype=bool)
         valid[0, :n] = True
-        ek, ev, _cnt = self._extend(
+        ek, ev, _cnt = self._extend_ids(
             self.params,
             sess["cache"],
             sess["ext_k"],
             sess["ext_v"],
             jnp.asarray(sess["count"], jnp.int32),
-            toks,
+            jnp.asarray(padded),
             jnp.asarray(valid),
         )
         sess["ext_k"], sess["ext_v"] = ek, ev
