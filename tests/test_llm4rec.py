@@ -183,3 +183,82 @@ def test_semantic_id_remap_handles_padding_sentinel():
     for name in out.video_features:
         if name in s0:
             assert s0[name][0] == 0 and s0[name][1] == 0
+
+
+# ---------------------------------------------------------------------------
+# Prompt-structure subsystem (feature_enhance/prompt_setting.md:1-5)
+# ---------------------------------------------------------------------------
+
+def test_prompt_spec_build_and_roundtrip():
+    from recommend_tpu.llm4rec.prompts import intent_specs
+
+    specs = intent_specs(axis_vocab={"category": ("games", "music", "news")})
+    spec = specs["global_intent"]
+    prompt = spec.build({"behavior_items": ["Item A — intro", "Item B"]})
+    # role/task definitions and both I/O format sections are present
+    assert "Role:" in prompt and "Task:" in prompt
+    assert "behavior_items: Item A — intro; Item B" in prompt
+    assert "category: <category> (one of: games, music, news)" in prompt
+    # a well-formed LLM reply parses field-for-field
+    reply = ("category: music\ntopic: pop idols\ncontent: interviews\n"
+             "content_form: short video\nextra: ignored")
+    parsed = spec.parse(reply)
+    assert parsed == {"category": "music", "topic": "pop idols",
+                      "content": "interviews", "content_form": "short video"}
+    assert spec.correct(parsed)["category"] == "music"
+
+
+def test_prompt_spec_missing_input_raises():
+    import pytest
+
+    from recommend_tpu.llm4rec.prompts import intent_specs
+
+    spec = intent_specs()["item_attributes"]
+    with pytest.raises(KeyError):
+        spec.build({"title": "t", "intro": "i"})  # summary missing
+
+
+def test_prompt_output_correction_snaps_and_defaults():
+    from recommend_tpu.llm4rec.prompts import intent_specs
+
+    specs = intent_specs(
+        axis_vocab={"category": ("games", "music")}, num_semantic_ids=8
+    )
+    gi = specs["global_intent"]
+    # off-vocab value containing a vocab word snaps onto it; missing axis
+    # falls back to the vocab head / "unknown"
+    fixed = gi.correct({"category": "mostly Music videos", "topic": "x"})
+    assert fixed["category"] == "music"
+    assert fixed["topic"] == "x"
+    assert fixed["content"] == "unknown" and fixed["content_form"] == "unknown"
+    # semantic-id subtask: closed integer vocab, uncorrectable → default "0"
+    sid = specs["next_semantic_id"]
+    assert sid.correct({"semantic_id": "5"})["semantic_id"] == "5"
+    assert sid.correct({"semantic_id": "banana"})["semantic_id"] == "0"
+    assert sid.correct({})["semantic_id"] == "0"
+
+
+def test_intent_prompt_generator_feeds_intent_cache():
+    import numpy as np
+
+    from recommend_tpu.llm4rec.intent_cache import IntentCache
+    from recommend_tpu.llm4rec.prompts import INTENT_AXES, IntentPromptGenerator
+
+    vocab = {a: ("alpha", "beta") for a in INTENT_AXES}
+
+    def llm(prompt):
+        assert "Role:" in prompt
+        return "\n".join(f"{a}: beta" for a in INTENT_AXES)
+
+    def axis_encoder(axis, label):
+        return np.full(4, 1.0 if label == "beta" else 0.0, np.float32)
+
+    gen = IntentPromptGenerator(llm, axis_encoder, axis_vocab=vocab)
+    cache = IntentCache(gen, default_intent=np.zeros(16, np.float32),
+                        async_updates=False)
+    intent = cache.get("u1", payload={"behavior_items": ["Item A"]})
+    assert intent.shape == (16,) and np.all(intent == 1.0)
+    assert cache.stats["generated"] == 1
+    # second read hits the cache, no regeneration
+    assert np.all(cache.get("u1") == 1.0)
+    assert cache.stats["hits"] == 1
