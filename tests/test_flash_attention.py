@@ -43,6 +43,10 @@ CASES = [
     (1, 64, 64, 1, 64, 5, False),
     (2, 12, 140, 2, 64, 30, True),    # NS-window-like tail queries
     (1, 256, 512, 4, 32, 0, True),
+    # Dh % 128 == 0 → model-layout multi-head kernel (no transposes)
+    (2, 181, 362, 2, 128, 17, True),  # the bench geometry
+    (2, 100, 231, 1, 128, 9, True),
+    (1, 70, 70, 2, 128, 0, False),
 ]
 
 
@@ -59,6 +63,28 @@ def test_forward_matches_reference(case):
 def test_gradients_match_reference():
     b, lq, lkv, h, dh = 1, 96, 160, 2, 32
     q, k, v, valid = _rand(b, lq, lkv, h, dh, seed=7, pad_tail=10)
+
+    def loss_ref(q, k, v):
+        return jnp.sum(jnp.square(_ref(q, k, v, valid, lkv - lq, True)))
+
+    def loss_flash(q, k, v):
+        return jnp.sum(
+            jnp.square(flash_attention_bhld(q, k, v, valid, lkv - lq, True))
+        )
+
+    g_ref = jax.grad(loss_ref, argnums=(0, 1, 2))(q, k, v)
+    with pltpu.force_tpu_interpret_mode():
+        g_fl = jax.grad(loss_flash, argnums=(0, 1, 2))(q, k, v)
+    for a, b_, name in zip(g_ref, g_fl, ("dq", "dk", "dv")):
+        np.testing.assert_allclose(
+            np.asarray(a), np.asarray(b_), atol=5e-4, rtol=5e-4, err_msg=name
+        )
+
+
+def test_gradients_match_reference_mh_kernel():
+    """Same as above but at Dh=128 — the model-layout multi-head kernel."""
+    b, lq, lkv, h, dh = 2, 53, 117, 2, 128
+    q, k, v, valid = _rand(b, lq, lkv, h, dh, seed=11, pad_tail=13)
 
     def loss_ref(q, k, v):
         return jnp.sum(jnp.square(_ref(q, k, v, valid, lkv - lq, True)))
@@ -115,4 +141,49 @@ def test_ranking_model_flash_path_matches_jnp():
     for t in cfg.tasks:
         np.testing.assert_allclose(
             np.asarray(out1[t]), np.asarray(out2[t]), atol=1e-4, rtol=1e-4
+        )
+
+
+def test_segmented_kv_matches_concat_reference():
+    """fused segmented-KV kernel ≡ reference attention over concatenated
+    [S; NS] keys — forward and gradients (Dh=128, model layout)."""
+    from recommend_tpu.ops.pallas.flash_attention import flash_attention_bhld_segkv
+
+    b, lq, ls, n, h, dh = 2, 60, 101, 12, 2, 128
+    lkv = ls + n
+    rng = np.random.default_rng(5)
+    q = jnp.asarray(rng.normal(size=(b, lq, h, dh)).astype(np.float32))
+    k_s = jnp.asarray(rng.normal(size=(b, ls, h, dh)).astype(np.float32))
+    v_s = jnp.asarray(rng.normal(size=(b, ls, h, dh)).astype(np.float32))
+    k_ns = jnp.asarray(rng.normal(size=(b, n, h, dh)).astype(np.float32))
+    v_ns = jnp.asarray(rng.normal(size=(b, n, h, dh)).astype(np.float32))
+    s_valid = np.ones((b, ls), dtype=bool)
+    s_valid[:, :7] = False
+    s_valid = jnp.asarray(s_valid)
+    kv_valid = jnp.concatenate([s_valid, jnp.ones((b, n), bool)], axis=1)
+
+    def ref_loss(q, k_s, v_s, k_ns, v_ns):
+        k = jnp.concatenate([k_s, k_ns], axis=1)
+        v = jnp.concatenate([v_s, v_ns], axis=1)
+        return jnp.sum(jnp.square(_ref(q, k, v, kv_valid, lkv - lq, True)))
+
+    def seg_loss(q, k_s, v_s, k_ns, v_ns):
+        return jnp.sum(jnp.square(flash_attention_bhld_segkv(
+            q, k_s, v_s, k_ns, v_ns, s_valid, lkv - lq, True
+        )))
+
+    args = (q, k_s, v_s, k_ns, v_ns)
+    ref_out = _ref(q, jnp.concatenate([k_s, k_ns], 1),
+                   jnp.concatenate([v_s, v_ns], 1), kv_valid, lkv - lq, True)
+    g_ref = jax.grad(ref_loss, argnums=(0, 1, 2, 3, 4))(*args)
+    with pltpu.force_tpu_interpret_mode():
+        seg_out = flash_attention_bhld_segkv(
+            q, k_s, v_s, k_ns, v_ns, s_valid, lkv - lq, True
+        )
+        g_seg = jax.grad(seg_loss, argnums=(0, 1, 2, 3, 4))(*args)
+    np.testing.assert_allclose(np.asarray(seg_out), np.asarray(ref_out),
+                               atol=2e-5, rtol=2e-5)
+    for a, b_, name in zip(g_ref, g_seg, ("dq", "dk_s", "dv_s", "dk_ns", "dv_ns")):
+        np.testing.assert_allclose(
+            np.asarray(a), np.asarray(b_), atol=5e-4, rtol=5e-4, err_msg=name
         )
