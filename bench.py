@@ -53,8 +53,10 @@ def main():
         # 12,209 ex/s — its index-building scatter costs more than it saves;
         # host-precomputed indices: 12,329 ex/s — the grad gather breaks the
         # grad-production→scatter fusion). Compaction wins at V=10M where the
-        # scatter+accum round-trip is ~8.5 ms: flagship retrieval 27.6 →
-        # 21.0 ms with budget 16,384 (docs/PERF.md).
+        # scatter+accum round-trip is larger: flagship retrieval 30.4 →
+        # 27.7 ms/step with budget 16,384 (the retrieval_flagship preset
+        # default; reproduce with examples/flagship_bench.py — numbers in
+        # docs/PERF.md "Retrieval flagship").
         # Pallas flash band-attention kernel: +6% at these sizes after the
         # whole-tile small-kv path (38.5 vs 40.8 ms/step A/B — the
         # 13,180 ex/s headline run in BASELINE.md/PERF.md)

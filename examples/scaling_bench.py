@@ -61,7 +61,8 @@ def main():
     from recommend_tpu.parallel.mesh import make_mesh
 
     n_dev = len(jax.devices())
-    sizes = sorted({1, 2, n_dev} & set(range(1, n_dev + 1))) if n_dev > 1 else [1]
+    pow2 = {1 << i for i in range(5)}  # 1,2,4,8,16
+    sizes = sorted(({1, 2, n_dev} | pow2) & set(range(1, n_dev + 1)))
 
     results = {}
     for n in sizes:

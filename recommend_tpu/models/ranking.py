@@ -154,6 +154,44 @@ class MixedBlock(nn.Module):
         )
         return dot_product_attention(q, k, v, bias)
 
+    def _attend_mixed(
+        self,
+        q: jax.Array,       # [B, Lq, H, Dh] tail queries over [S; NS]
+        k_s: jax.Array,     # [B, Ls, H, Dh]
+        v_s: jax.Array,
+        s_valid: jax.Array,  # [B, Ls]
+        k_ns: jax.Array,    # [B, n, H, Dh]
+        v_ns: jax.Array,
+        q_offset: int,
+    ) -> jax.Array:
+        """Band attention over the segmented [S ; NS] key/value stream.
+
+        The fused segmented-KV Pallas kernel joins the segments in VMEM, so
+        the per-layer [B, L, H, Dh] K/V concatenates (a full-stream HBM copy
+        each, profiled ~1 ms/layer fwd+bwd at bench shapes — docs/PERF.md)
+        never materialize. Layers below the flash threshold fall back to the
+        jnp path on the concatenated stream — their kept windows are tiny."""
+        cfg = self.config
+        if cfg.use_flash_attention and q.shape[1] >= 64:
+            from recommend_tpu.ops.pallas.flash_attention import (
+                flash_attention_bhld_segkv,
+            )
+
+            return flash_attention_bhld_segkv(
+                q, k_s, v_s, k_ns, v_ns, s_valid, q_offset, True
+            )
+        b = q.shape[0]
+        k = jnp.concatenate([k_s, k_ns], axis=1)
+        v = jnp.concatenate([v_s, v_ns], axis=1)
+        key_valid = jnp.concatenate(
+            [s_valid, jnp.ones((b, k_ns.shape[1]), dtype=bool)], axis=1
+        )
+        bias = (
+            causal_band_mask(q.shape[1], k.shape[1], q_offset)[None, None]
+            + padding_mask_bias(key_valid)
+        )
+        return dot_product_attention(q, k, v, bias)
+
     # -- entry points ------------------------------------------------------
     def full_call(
         self,
@@ -170,13 +208,16 @@ class MixedBlock(nn.Module):
         assert s_len + n == l and n <= keep_len <= l
         hx = self.attn_norm(x)
         h_s, h_ns = hx[:, :s_len], hx[:, s_len:]
-        k = jnp.concatenate([self.k_s(h_s), self._proj_ns(self.k_ns, h_ns)], axis=1)
-        v = jnp.concatenate([self.v_s(h_s), self._proj_ns(self.v_ns, h_ns)], axis=1)
+        k_s, v_s = self.k_s(h_s), self.v_s(h_s)
+        k_ns = self._proj_ns(self.k_ns, h_ns)
+        v_ns = self._proj_ns(self.v_ns, h_ns)
         keep_s = keep_len - n
         q_s_tail = self.q_s(h_s[:, s_len - keep_s :]) if keep_s > 0 else None
         q_ns = self._proj_ns(self.q_ns, h_ns)
         q = jnp.concatenate([q_s_tail, q_ns], axis=1) if q_s_tail is not None else q_ns
-        attn = self._attend(q, k, v, key_valid, l - keep_len)
+        attn = self._attend_mixed(
+            q, k_s, v_s, key_valid[:, :s_len], k_ns, v_ns, l - keep_len
+        )
         y = self.o_proj(attn)
         y = self.dropout(y, deterministic=deterministic)
         x = x[:, l - keep_len :] + y

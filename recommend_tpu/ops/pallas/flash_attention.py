@@ -1120,6 +1120,22 @@ def _fmhseg_vjp_bwd(sm_scale, q_offset, causal, h, group, res, do):
 fused_mhseg_band_attention.defvjp(_fmhseg_vjp_fwd, _fmhseg_vjp_bwd)
 
 
+def _fused_group_for(h: int, lq: int, lkv: int) -> int:
+    """Largest grid group whose backward fits the ~16 MB Mosaic VMEM stack.
+
+    The bwd kernels keep ≈8 f32 [lq_p, lkv_p]-sized temporaries live per
+    batch row (s/p/dp/ds per segment + bands; measured: g=8,h=2 at
+    192×384 needs 16.5 MB, g=2,h=3 at 368×652 needs 17.2 MB). Budget 13 MB
+    to leave headroom for the bf16 input tiles."""
+    lq_p = _round_up(lq, 16)
+    lkv_p = _round_up(lkv, 128) + 128  # + NS segment / slack
+    per_row = lq_p * lkv_p * 4 * 8
+    g = max(1, FUSED_GROUP // h)
+    while g > 1 and g * per_row > 13 * 2**20:
+        g //= 2
+    return g
+
+
 def flash_attention_bhld_segkv(
     q: jax.Array,    # [B, Lq, H, Dh] tail queries over the combined stream
     k_s: jax.Array,  # [B, Ls, H, Dh] S-segment keys
@@ -1142,7 +1158,7 @@ def flash_attention_bhld_segkv(
             q.reshape(b, lq, h * dh), k_s.reshape(b, ls, h * dh),
             v_s.reshape(b, ls, h * dh), k_ns.reshape(b, n, h * dh),
             v_ns.reshape(b, n, h * dh), s_bias, sm_scale, q_offset, causal,
-            h, max(1, FUSED_GROUP // h),
+            h, _fused_group_for(h, lq, ls + n),
         )
         return out.reshape(b, lq, h, dh).astype(q.dtype)
     kv_valid = jnp.concatenate(
@@ -1184,7 +1200,7 @@ def flash_attention_bhld(
         out = fused_mh_band_attention(
             q.reshape(b, lq, h * dh), k.reshape(b, lkv, h * dh),
             v.reshape(b, lkv, h * dh), bias1, sm_scale, q_offset, causal, h,
-            max(1, FUSED_GROUP // h),
+            _fused_group_for(h, lq, lkv),
         )
         return out.reshape(b, lq, h, dh).astype(q.dtype)
 

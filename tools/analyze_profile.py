@@ -22,6 +22,7 @@ import collections
 import glob
 import json
 import os
+import re
 import sys
 
 
@@ -50,10 +51,26 @@ def load_hlo_stats(xplane: str) -> list[dict]:
     return rows
 
 
+def source_stack(row: dict) -> list[str]:
+    """source_info is an HTML cell whose title attr holds the frame stack."""
+    src = row.get("source_info") or ""
+    m = re.search(r"title='([^']*)'", src)
+    return [f for f in (m.group(1).split("\n") if m else []) if f]
+
+
+def repo_frame(row: dict) -> str:
+    """Innermost stack frame inside the repo (not tools/), else innermost."""
+    frames = source_stack(row)
+    for f in frames:
+        if "/recommend_tpu/" in f:
+            return f.split("/recommend_tpu/", 1)[1].rsplit(":", 1)[0]
+    return frames[0].rsplit(":", 1)[0] if frames else "?"
+
+
 def short_name(row: dict, width: int = 60) -> str:
     name = row.get("hlo_op_name") or "?"
-    src = row.get("source_info") or ""
-    if src:
+    src = repo_frame(row)
+    if src != "?":
         name = f"{name}  [{src}]"
     return name if len(name) <= width else name[: width - 1] + "…"
 
@@ -106,6 +123,14 @@ def main() -> None:
               f"{(r.get('bound_by') or '?'):<8} "
               f"{r.get('measured_memory_bw') or 0:>7.1f} "
               f"{r.get('model_flop_rate') or 0:>8.1f}  {short_name(r, 70)}")
+
+    # --- per-source rollup (innermost repo frame) ---------------------------
+    by_src: dict[str, float] = collections.defaultdict(float)
+    for r in rows:
+        by_src[repo_frame(r)] += r.get("total_self_time") or 0.0
+    print(f"\n{'ms/step':>8} {'%':>6}  source (innermost repo frame)")
+    for src, us in sorted(by_src.items(), key=lambda kv: -kv[1])[:25]:
+        print(f"{us / 1e3 / n:>8.3f} {us / total_us * 100:>5.1f}%  {src}")
 
     if args.contains:
         print(f"\nops containing '{args.contains}':")
