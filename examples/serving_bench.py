@@ -99,35 +99,43 @@ def bench_ranking(n_requests: int, n_candidates: int) -> dict:
         lats.append((time.perf_counter() - t0) * 1000)
     uncached = pctile(lats)
 
-    # KV-cached: S encoded once per request, NS-only per candidate
+    # KV-cached request vs cross-request session Δ-append, measured
+    # INTERLEAVED: the axon tunnel RTT drifts over minutes (observed
+    # 22 → 37 ms p50 between runs), so sequential per-variant loops
+    # confound transport with the serving path. Pairing every sample keeps
+    # the request/session comparison fair under identical transport.
+    #
+    # kv_cached_request: S encoded once per request, NS-only per candidate.
+    # session_delta_kv_append: each request appends Δ=2 new items
+    # (O(Δ·window) trunk work) and scores candidates over the cached
+    # per-layer S K/V with ZERO history re-encoding (translation:144-151;
+    # off-request-path re-anchor after the padding fills).
     engine.score_request(user_ctx, user_seqs, make_cands())  # compile
-    lats = []
-    for _ in range(n_requests):
-        t0 = time.perf_counter()
-        engine.score_request(user_ctx, user_seqs, make_cands())
-        lats.append((time.perf_counter() - t0) * 1000)
-    cached = pctile(lats)
-
-    # cross-request session cache: true per-layer K/V Δ-append — each request
-    # appends Δ=2 new items (O(Δ·window) trunk work) and scores candidates
-    # over the cached per-layer S K/V with ZERO history re-encoding
-    # (translation:144-151; auto-refresh re-anchors every `slack` appends)
     engine.update_session("u1", {sf: user_seqs[sf] for sf in cfg.sequence_features})
     engine.score_session(
         "u1", user_ctx, make_cands(),
         new_items={cfg.sequence_features[0]: [1, 2]},
     )  # compile append + score
-    lats = []
+    lat_req, lat_sess = [], []
     for _ in range(n_requests):
+        t0 = time.perf_counter()
+        engine.score_request(user_ctx, user_seqs, make_cands())
+        lat_req.append((time.perf_counter() - t0) * 1000)
         t0 = time.perf_counter()
         engine.score_session(
             "u1", user_ctx, make_cands(),
             new_items={cfg.sequence_features[0]:
                        [int(rng.integers(0, 1000)), int(rng.integers(0, 1000))]},
         )
-        lats.append((time.perf_counter() - t0) * 1000)
-    session = pctile(lats)
+        lat_sess.append((time.perf_counter() - t0) * 1000)
+    cached = pctile(lat_req)
+    session = pctile(lat_sess)
     session["session_kv_memory_mb"] = round(engine.session_memory_mb(), 3)
+    # paired per-sample delta: negative median ⇒ session beats request
+    # regardless of transport drift
+    d = np.asarray(lat_sess) - np.asarray(lat_req)
+    session["paired_delta_ms_p50"] = float(np.percentile(d, 50))
+    session["paired_delta_ms_p99"] = float(np.percentile(d, 99))
 
     return {
         "config": "OneTrans-S-like (6L, d=256), 100 candidates/request",
