@@ -47,6 +47,7 @@ CASES = [
     (2, 181, 362, 2, 128, 17, True),  # the bench geometry
     (2, 100, 231, 1, 128, 9, True),
     (1, 70, 70, 2, 128, 0, False),
+    (1, 90, 181, 3, 128, 11, True),   # h=3 — the OneTrans-L head count
 ]
 
 
