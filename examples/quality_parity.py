@@ -134,7 +134,7 @@ def run_ml1m(scale: str, seed: int = 0) -> dict:
 # OneTrans industrial replica track
 # ---------------------------------------------------------------------------
 
-def run_onetrans(scale: str, seed: int = 0) -> dict:
+def run_onetrans(scale: str, seed: int = 0, epochs: int = 3) -> dict:
     import jax
 
     from recommend_tpu.config import get_config
@@ -157,7 +157,6 @@ def run_onetrans(scale: str, seed: int = 0) -> dict:
     num_impressions = 5_000_000 if full_scale else 50_000
     stream_kw = dict(stream_len_loc=4.8, stream_len_scale=0.8) if full_scale else {}
     batch = 512 if full_scale else 128
-    epochs = 3
 
     # bf16 matmuls are TPU-native; the CPU backend (small-scale smoke runs)
     # lacks the BF16×BF16 dot kernel
@@ -272,6 +271,8 @@ def main():
                     default="both")
     ap.add_argument("--scale", choices=("small", "full"), default="full")
     ap.add_argument("--seed", type=int, default=0)
+    ap.add_argument("--epochs", type=int, default=3,
+                    help="onetrans-replica training epochs")
     ap.add_argument("--output", default=None)
     args = ap.parse_args()
 
@@ -281,7 +282,7 @@ def main():
     if args.track in ("ml1m", "both"):
         report["ml1m_replica"] = run_ml1m(args.scale, args.seed)
     if args.track in ("onetrans", "both"):
-        report["onetrans_replica"] = run_onetrans(args.scale, args.seed)
+        report["onetrans_replica"] = run_onetrans(args.scale, args.seed, args.epochs)
     print(json.dumps(report, indent=2, default=float))
     if args.output:
         with open(args.output, "w") as f:

@@ -78,6 +78,11 @@ def bench_ranking(n_requests: int, n_candidates: int) -> dict:
     params = jax.jit(model.init)(jax.random.key(0), ns, seqs, sv)
     engine = RankingInferenceEngine(cfg, params, max_seq_len=64)
 
+    # compile EVERY serving path up front (incl. the session cache's
+    # compaction fold + re-anchor) — without this the first fold's XLA
+    # compile lands ~600 ms into the session p99 mid-loop
+    engine.warmup(n_candidates)
+
     user_ctx = {f: int(rng.integers(0, 100))
                 for f in cfg.user_features + cfg.context_features}
     user_seqs = {sf: rng.integers(0, 1000, size=48).tolist()

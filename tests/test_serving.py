@@ -696,3 +696,24 @@ def test_session_drift_bounded_realistic_regime():
     # ≥2 full re-anchor cycles beyond the initial session encode
     assert refreshes >= 3, refreshes
     assert worst < 1e-2, worst
+
+
+def test_engine_warmup_compiles_all_session_paths(ranking_engine):
+    """warmup() must drive the full session maintenance ladder (append,
+    compaction fold, re-anchor) on a throwaway session and clean it up, so
+    no first-use compile lands in a live request."""
+    engine = ranking_engine
+    engine.warmup(n_candidates=2)
+    assert "__warmup__" not in engine._sessions
+    # a fresh session immediately exercising every ladder step stays correct
+    cfg = engine.cfg
+    sf0 = cfg.sequence_features[0]
+    user = {f: 1 for f in cfg.user_features + cfg.context_features}
+    cands = [{f: 2 for f in cfg.item_features}]
+    engine.update_session("u", {sf0: [1, 2, 3]})
+    for _ in range(engine.refresh_every_compactions + 1):
+        out = engine.score_session(
+            "u", user, cands, new_items={sf0: [5] * engine.slack}
+        )
+    for t in cfg.tasks:
+        assert 0.0 <= out[0][t] <= 1.0
