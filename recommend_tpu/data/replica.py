@@ -86,10 +86,17 @@ def make_ml1m_replica(
     attract = 1.0 / np.arange(1, num_items + 1) ** 0.85
     attract = attract[rng.permutation(num_items)]
 
-    # per-genre pools + normalized within-genre attractiveness
+    # per-genre pools + normalized within-genre attractiveness. At small
+    # num_items the Zipf assignment can leave a genre with zero items —
+    # fall back to the global pool (0/0 probabilities would NaN-crash the
+    # Markov walk's exploration draws)
+    global_pool = (np.arange(num_items), attract / attract.sum())
     pools = []
     for g in range(1, n_genres + 1):
         idx = np.nonzero(category == g)[0]
+        if idx.size == 0:
+            pools.append(global_pool)
+            continue
         a = attract[idx]
         pools.append((idx, a / a.sum()))
 

@@ -854,12 +854,10 @@ def _seg_bands(lq_p: int, lkv_p: int, n: int, lkv: int, q_offset: int,
                causal: bool):
     if not causal:
         return None, None
-    q_pos = q_offset + jax.lax.broadcasted_iota(jnp.int32, (lq_p, lkv_p), 0)
-    kv_pos = jax.lax.broadcasted_iota(jnp.int32, (lq_p, lkv_p), 1)
-    band_s = jnp.where(kv_pos <= q_pos, 0.0, NEG_INF)
-    q_pos2 = q_offset + jax.lax.broadcasted_iota(jnp.int32, (lq_p, n), 0)
+    band_s = _fused_band(lq_p, lkv_p, q_offset, causal)  # S keys at 0..lkv-1
+    q_pos = q_offset + jax.lax.broadcasted_iota(jnp.int32, (lq_p, n), 0)
     ns_pos = lkv + jax.lax.broadcasted_iota(jnp.int32, (lq_p, n), 1)
-    band_ns = jnp.where(ns_pos <= q_pos2, 0.0, NEG_INF)
+    band_ns = jnp.where(ns_pos <= q_pos, 0.0, NEG_INF)
     return band_s, band_ns
 
 

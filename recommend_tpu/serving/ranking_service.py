@@ -267,12 +267,20 @@ class RankingInferenceEngine:
             for d in deltas:
                 self.score_session(sid, user, cands,
                                    new_items={sf0: [1] * d})
-            # one full maintenance cycle: Δ=slack forces a fold per call,
-            # and after refresh_every_compactions folds the deferred
-            # re-anchor runs off-path
-            for _ in range(self.refresh_every_compactions + 1):
+            # one full maintenance cycle. Δ must be a bucket size ≤ slack
+            # (sending exactly `slack` ids with a non-power-of-two slack
+            # buckets PAST the buffer and takes the refresh path, never
+            # compiling the fold): use the largest power of two ≤ slack and
+            # loop until a fold has happened AND the re-anchor reset it.
+            step = 1 << (max(self.slack, 1).bit_length() - 1)
+            folded = False
+            for _ in range(4 * self.refresh_every_compactions + 8):
                 self.score_session(sid, user, cands,
-                                   new_items={sf0: [1] * self.slack})
+                                   new_items={sf0: [1] * step})
+                c = self._sessions[sid]["compactions"]
+                folded = folded or c > 0
+                if folded and c == 0:
+                    break  # fold + re-anchor both compiled
         finally:
             self._sessions.pop(sid, None)
 
@@ -421,6 +429,15 @@ class RankingInferenceEngine:
         overlaps inter-request idle instead of landing in the p99 tail
         (paper Table 5 :252 credits the cross-request cache −29.6% p99).
         Returns True iff a step-3 refresh was deferred."""
+        # validate + convert BEFORE mutating (and before inserting a fresh
+        # session dict): a bad request must leave the session store
+        # unchanged — a half-initialized session (cache=None) would crash
+        # later cached scoring
+        unknown = [sf for sf in new_items
+                   if sf not in self.cfg.sequence_features]
+        if unknown:
+            raise KeyError(f"unknown sequence feature(s) {unknown!r}")
+        converted = {sf: [int(i) for i in ids] for sf, ids in new_items.items()}
         sess = self._sessions.get(session_id)
         fresh = sess is None
         if fresh:
@@ -432,12 +449,6 @@ class RankingInferenceEngine:
                 "count": 0,
                 "compactions": 0,
             }
-        # validate + convert BEFORE mutating: a bad request (unknown feature,
-        # non-int id) must leave the session unchanged
-        unknown = [sf for sf in new_items if sf not in sess["ids"]]
-        if unknown:
-            raise KeyError(f"unknown sequence feature(s) {unknown!r}")
-        converted = {sf: [int(i) for i in ids] for sf, ids in new_items.items()}
         delta: List[int] = []
         for sf, ids in converted.items():
             if not ids:
@@ -462,10 +473,14 @@ class RankingInferenceEngine:
         if sess["count"] + db > self.slack:
             if sess["compactions"] >= self.refresh_every_compactions:
                 # padding exhausted (possible only when deferred re-anchors
-                # were repeatedly skipped) — re-encode now
+                # were repeatedly skipped) — re-encode now. The re-encode
+                # runs over sess["ids"], which ALREADY include this delta,
+                # so appending it again would duplicate those keys in the
+                # cache (doubled softmax mass) — return like the sibling
+                # refresh branches instead
                 self.refresh_session(session_id)
-            else:
-                self._compact_session(sess)
+                return False
+            self._compact_session(sess)
         if delta:
             self._append_delta(sess, delta)
         # periodic re-anchor: caps cache length, bounds frozen-window drift,

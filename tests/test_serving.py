@@ -717,3 +717,55 @@ def test_engine_warmup_compiles_all_session_paths(ranking_engine):
         )
     for t in cfg.tasks:
         assert 0.0 <= out[0][t] <= 1.0
+
+
+def test_bad_first_update_leaves_no_half_initialized_session(ranking_engine):
+    """A rejected FIRST update must not insert a session dict with
+    cache=None — later cached scoring would crash on it (round-3 review)."""
+    import pytest
+
+    engine = ranking_engine
+    with pytest.raises(KeyError):
+        engine.update_session("brand_new", {"bogus_seq": [1, 2]})
+    assert "brand_new" not in engine._sessions
+    # and the session works normally once created properly
+    sf0 = engine.cfg.sequence_features[0]
+    engine.update_session("brand_new", {sf0: [1, 2, 3]})
+    user = {f: 1 for f in engine.cfg.user_features + engine.cfg.context_features}
+    cands = [{f: 2 for f in engine.cfg.item_features}]
+    out = engine.score_session("brand_new", user, cands)
+    for t in engine.cfg.tasks:
+        assert 0.0 <= out[0][t] <= 1.0
+
+
+def test_padding_exhausted_refresh_does_not_double_append(ranking_engine):
+    """When the compaction padding is exhausted, update_session re-encodes
+    from ids (which already include the delta) and must NOT also append the
+    delta's K/V — that would double those keys' softmax mass (round-3
+    review). Pin: after that branch the cache state is a clean re-anchor
+    (count == 0, compactions == 0) and scoring matches score_request."""
+    import numpy as np
+
+    engine = ranking_engine
+    cfg = engine.cfg
+    sf0 = cfg.sequence_features[0]
+    user = {f: 1 for f in cfg.user_features + cfg.context_features}
+    cands = [{f: 2 for f in cfg.item_features}]
+    engine.update_session("u", {sf0: [1, 2, 3]})
+    sess = engine._sessions["u"]
+    # force the exhausted state: padding fully consumed, deferred re-anchors
+    # skipped (as a raising caller or direct _defer_refresh use would)
+    for _ in range(engine.refresh_every_compactions):
+        engine.update_session("u", {sf0: [4] * engine.slack},
+                              _defer_refresh=True)
+    assert sess["compactions"] == engine.refresh_every_compactions
+    deferred = engine.update_session("u", {sf0: [7] * engine.slack},
+                                     _defer_refresh=True)
+    assert deferred is False
+    sess = engine._sessions["u"]
+    assert sess["count"] == 0 and sess["compactions"] == 0
+    got = engine.score_session("u", user, cands)
+    want = engine.score_request(user, {sf: sess["ids"][sf] for sf in sess["ids"]},
+                                cands)
+    for t in cfg.tasks:
+        np.testing.assert_allclose(got[0][t], want[0][t], atol=1e-5)

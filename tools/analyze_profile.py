@@ -95,6 +95,9 @@ def main() -> None:
 
     n = max(args.steps, 1)
     total_us = sum(r.get("total_self_time") or 0.0 for r in rows)
+    if total_us <= 0:
+        raise SystemExit("hlo_stats rows carry no device self time — "
+                         "truncated or host-only capture?")
     print(f"device self time: {total_us / 1e3 / n:.2f} ms/step "
           f"({total_us / 1e3:.1f} ms over {n} steps, {len(rows)} ops)\n")
 
