@@ -1,0 +1,288 @@
+"""Flagship-scale retrieval SERVING benchmark — the 10M-item corpus row.
+
+The production narrative the reference describes is GPU brute-force top-k
+over a ~10M-item corpus with dedicated embedding servers
+(recall/bert_like/kuaiformer/translation/complete_translation.md:214). The
+10M-vocab *training* row exists (examples/flagship_bench.py); this script
+measures the serving side at the same scale on one v5e (VERDICT round-3
+item 5):
+
+  - index BUILD time: embed all 10M items through the item tower;
+  - query latency: flat-exact f32, int8 corpus, int8+approx_max_k, and IVF,
+    single-request and batch-64, with top-100 recall vs the exact scan;
+  - checkpoint save/restore wall time of the 5.1 GB embedding table (orbax).
+
+HBM budget notes (16 GB v5e): params hold the [10M, 128] f32 table
+(5.12 GB); the flat index adds a second 5.12 GB f32 matrix + 1.28 GB int8
+copy. The IVF phase would not fit *on top of* that, so phases run as
+separate processes (--phase) and the IVF phase drops the params after
+encoding its query set. Run with no --phase to execute all phases
+sequentially in subprocesses.
+
+Usage (real TPU):
+  PYTHONPATH=.:/root/.axon_site JAX_PLATFORMS=axon \
+      python examples/flagship_serving_bench.py --output flagship_serving.json
+"""
+
+from __future__ import annotations
+
+import argparse
+import gc
+import json
+import os
+import subprocess
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import numpy as np
+
+
+def _log(msg: str) -> None:
+    print(f"[{time.strftime('%H:%M:%S')}] {msg}", flush=True)
+
+
+def _setup(corpus: int):
+    """Config + synthetic corpus features + params + jitted encoders."""
+    import jax
+    import jax.numpy as jnp
+
+    from recommend_tpu.config import get_config
+    from recommend_tpu.models.retrieval import RetrievalTower
+
+    cfg = get_config("retrieval_flagship", dropout_rate=0.0, top_k=100,
+                     video_vocab_size=corpus)
+    rng = np.random.default_rng(0)
+    corpus_features = {
+        "video_id": np.arange(corpus, dtype=np.int64),
+        "category": rng.integers(1, cfg.category_vocab_size, corpus),
+        "tag": rng.integers(1, cfg.tag_vocab_size, corpus),
+        "duration": rng.uniform(5, 300, corpus).astype(np.float32),
+        "timestamp": np.full(corpus, 1_700_000_000, np.int64),
+    }
+    model = RetrievalTower(cfg)
+    hist = {
+        "video_id": rng.integers(0, corpus, (64, cfg.max_seq_len)),
+        "category": rng.integers(1, cfg.category_vocab_size, (64, cfg.max_seq_len)),
+        "tag": rng.integers(1, cfg.tag_vocab_size, (64, cfg.max_seq_len)),
+        "duration": rng.uniform(5, 300, (64, cfg.max_seq_len)).astype(np.float32),
+        "timestamp": np.full((64, cfg.max_seq_len), 1_700_000_000, np.int64),
+    }
+    valid = np.ones((64, cfg.max_seq_len), bool)
+    feats = {k: jnp.asarray(v) for k, v in hist.items()}
+    params = jax.jit(model.init)(jax.random.key(0), feats, jnp.asarray(valid))
+    return cfg, model, params, corpus_features, feats, jnp.asarray(valid)
+
+
+def _recall(ref_ids: np.ndarray, got_ids: np.ndarray) -> float:
+    """Mean per-query overlap of the top-k id sets."""
+    hits = [
+        len(set(map(int, r)) & set(map(int, g))) / len(r)
+        for r, g in zip(ref_ids, got_ids)
+    ]
+    return float(np.mean(hits))
+
+
+def phase_flat(corpus: int, out_path: str) -> None:
+    import jax
+
+    from recommend_tpu.models.retrieval import RetrievalTower
+    from recommend_tpu.serving.retrieval_service import RetrievalIndex
+
+    cfg, model, params, corpus_features, feats, valid = _setup(corpus)
+    fwd = jax.jit(lambda p, f, v: model.apply(p, f, v))
+    report = {"corpus": corpus}
+
+    _log(f"flat phase: building f32 index over {corpus} items")
+    index = RetrievalIndex(cfg, model, params)
+    t0 = time.perf_counter()
+    index.build(corpus_features)
+    index.item_embeddings.block_until_ready()
+    report["index_build_s"] = round(time.perf_counter() - t0, 2)
+    _log(f"build took {report['index_build_s']}s")
+
+    interests64 = fwd(params, feats, valid)
+    interests1 = jax.tree_util.tree_map(lambda x: x[:1], interests64)
+    ref_scores, ref_ids = index.search(interests64, 100)  # exact reference
+
+    variants = [("flat_exact", dict())]
+    variants += [("int8_exact", dict(quantize="int8"))]
+    variants += [("int8_approx99", dict(quantize="int8", approx_recall=0.99))]
+    for name, kw in variants:
+        if kw:
+            vindex = RetrievalIndex(cfg, model, params, **kw)
+            # reuse the already-embedded matrix (quantization derives from it)
+            vindex.item_embeddings = index.item_embeddings
+            if vindex.quantize == "int8":
+                from recommend_tpu.serving.retrieval_service import _quantize
+
+                vindex.q_items, vindex.q_scales = _quantize(index.item_embeddings)
+        else:
+            vindex = index
+        entry = {}
+        _, got = vindex.search(interests64, 100)
+        entry["top100_recall_vs_exact"] = round(_recall(ref_ids, got), 4)
+        for tag, ints, b in (("batch1", interests1, 1), ("batch64", interests64, 64)):
+            vindex.search(ints, 100)  # compile
+            lats = []
+            for _ in range(20):
+                t0 = time.perf_counter()
+                vindex.search(ints, 100)
+                lats.append((time.perf_counter() - t0) * 1000)
+            entry[f"search_ms_p50_{tag}"] = round(float(np.percentile(lats, 50)), 2)
+            if b > 1:
+                entry[f"search_qps_{tag}"] = round(
+                    b * 1000 / float(np.mean(lats)), 1
+                )
+        # end-to-end single request: encode history + search
+        def once():
+            ints = fwd(params, jax.tree_util.tree_map(lambda x: x[:1], feats),
+                       valid[:1])
+            return vindex.search(ints, 100)
+        once()
+        lats = []
+        for _ in range(20):
+            t0 = time.perf_counter()
+            once()
+            lats.append((time.perf_counter() - t0) * 1000)
+        entry["end_to_end_ms_p50_batch1"] = round(float(np.percentile(lats, 50)), 2)
+        report[name] = entry
+        _log(f"{name}: {entry}")
+    with open(out_path, "w") as f:
+        json.dump(report, f, indent=2)
+
+
+def phase_ivf(corpus: int, out_path: str, clusters: int = 2048,
+              nprobe: int = 64) -> None:
+    import jax
+    import jax.numpy as jnp
+
+    from recommend_tpu.ops.ivf import build_ivf, ivf_search_interests
+    from recommend_tpu.ops.topk import topk_retrieval
+
+    cfg, model, params, corpus_features, feats, valid = _setup(corpus)
+    fwd = jax.jit(lambda p, f, v: model.apply(p, f, v))
+    report = {"corpus": corpus, "clusters": clusters, "nprobe": nprobe}
+
+    # embed the corpus, capture the query interests, then DROP the params —
+    # the IVF build needs the HBM headroom (see module docstring)
+    from recommend_tpu.serving.retrieval_service import RetrievalIndex
+
+    index = RetrievalIndex(cfg, model, params)
+    t0 = time.perf_counter()
+    index.build(corpus_features)
+    index.item_embeddings.block_until_ready()
+    report["index_build_s"] = round(time.perf_counter() - t0, 2)
+    interests64 = jax.device_get(fwd(params, feats, valid))
+    items = index.item_embeddings
+    del params, index, model, feats, valid
+    gc.collect()
+
+    # mean bucket ≈ corpus/clusters; capacity caps the Zipf tail so the
+    # [C, cap, D] bucket matrix stays inside HBM (overflow items fall out of
+    # the probe set — counted against recall honestly below)
+    capacity = int(corpus / clusters * 2.5)
+    _log(f"ivf build: {clusters} clusters, capacity {capacity}")
+    t0 = time.perf_counter()
+    ivf = build_ivf(items, n_clusters=clusters, capacity=capacity,
+                    quantize="int8")
+    jax.block_until_ready(ivf.bucket_embs)
+    report["ivf_build_s"] = round(time.perf_counter() - t0, 2)
+    _log(f"ivf build took {report['ivf_build_s']}s")
+
+    ints64 = jnp.asarray(interests64)
+    ints1 = ints64[:1]
+    _, ref_ids = topk_retrieval(ints64, items, 100)  # exact reference
+    # ivf_search_interests device-searches then merges on host (not jittable)
+    _, got = ivf_search_interests(ivf, ints64, 100, nprobe=nprobe)
+    report["top100_recall_vs_exact"] = round(
+        _recall(np.asarray(ref_ids), np.asarray(got)), 4
+    )
+    for tag, ints, b in (("batch1", ints1, 1), ("batch64", ints64, 64)):
+        ivf_search_interests(ivf, ints, 100, nprobe=nprobe)  # compile
+        lats = []
+        for _ in range(20):
+            t0 = time.perf_counter()
+            ivf_search_interests(ivf, ints, 100, nprobe=nprobe)
+            lats.append((time.perf_counter() - t0) * 1000)
+        report[f"search_ms_p50_{tag}"] = round(float(np.percentile(lats, 50)), 2)
+        if b > 1:
+            report[f"search_qps_{tag}"] = round(b * 1000 / float(np.mean(lats)), 1)
+    _log(json.dumps(report))
+    with open(out_path, "w") as f:
+        json.dump(report, f, indent=2)
+
+
+def phase_checkpoint(corpus: int, out_path: str) -> None:
+    """Orbax save/restore wall time for the flagship params (the [10M,128]
+    f32 table dominates: 5.12 GB)."""
+    import jax
+
+    from recommend_tpu.training.checkpoint import CheckpointManager
+
+    cfg, model, params, _, feats, valid = _setup(corpus)
+    nbytes = sum(
+        getattr(x, "nbytes", 0) for x in jax.tree_util.tree_leaves(params)
+    )
+    report = {"corpus": corpus, "params_gb": round(nbytes / 2**30, 2)}
+    import tempfile
+
+    with tempfile.TemporaryDirectory(dir="/tmp") as d:
+        mngr = CheckpointManager(d, max_to_keep=1)
+        t0 = time.perf_counter()
+        mngr.save(0, params, {})
+        mngr.wait()
+        report["orbax_save_s"] = round(time.perf_counter() - t0, 2)
+        shapes = jax.tree_util.tree_map(
+            lambda x: jax.ShapeDtypeStruct(x.shape, x.dtype), params
+        )
+        t0 = time.perf_counter()
+        step, restored, _ = mngr.restore(shapes, {})
+        jax.block_until_ready(restored)
+        report["orbax_restore_s"] = round(time.perf_counter() - t0, 2)
+        mngr.close()
+    _log(json.dumps(report))
+    with open(out_path, "w") as f:
+        json.dump(report, f, indent=2)
+
+
+PHASES = {"flat": phase_flat, "ivf": phase_ivf, "checkpoint": phase_checkpoint}
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--corpus", type=int, default=10_000_000)
+    ap.add_argument("--phase", choices=sorted(PHASES), default=None)
+    ap.add_argument("--output", default="flagship_serving.json")
+    args = ap.parse_args()
+
+    if args.phase:
+        PHASES[args.phase](args.corpus, args.output)
+        return
+
+    # no phase: run each in its own process (HBM is reclaimed between them)
+    report = {}
+    for phase in ("flat", "ivf", "checkpoint"):
+        part = f"{args.output}.{phase}"
+        _log(f"=== phase {phase} ===")
+        r = subprocess.run(
+            [sys.executable, os.path.abspath(__file__),
+             "--corpus", str(args.corpus), "--phase", phase,
+             "--output", part],
+            env=os.environ,
+        )
+        if r.returncode == 0 and os.path.exists(part):
+            with open(part) as f:
+                report[phase] = json.load(f)
+            os.remove(part)
+        else:
+            report[phase] = {"error": f"exit {r.returncode}"}
+    print(json.dumps(report, indent=2))
+    with open(args.output, "w") as f:
+        json.dump(report, f, indent=2)
+    _log(f"wrote {args.output}")
+
+
+if __name__ == "__main__":
+    main()

@@ -93,19 +93,10 @@ def run_ml1m(scale: str, seed: int = 0) -> dict:
 
     evaluator = RetrievalEvaluator(cfg, trainer.model, state.params)
     # leave-one-out: ONE sample per user, target = held-out last event.
-    # leave_one_out_batches pads the final partial batch by REPEATING the
-    # last user, and evaluate_retrieval averages every row — so the eval
-    # batch size must divide the user count or padded duplicates bias the
-    # reported metrics (~1.7% at 6040 users / batch 256, measured)
-    n_eval_users = sum(
-        1 for s in test.user_sequences if len(s["video_id"]) >= 2
-    )
-    eval_batch = next(
-        b for b in range(min(batch, n_eval_users), 0, -1)
-        if n_eval_users % b == 0
-    )
+    # leave_one_out_batches marks padded duplicate rows via `num_real` and
+    # evaluate_retrieval excludes them, so any batch size is exact
     metrics = evaluator.evaluate_retrieval(
-        test, leave_one_out_batches(test, cfg, eval_batch),
+        test, leave_one_out_batches(test, cfg, batch),
         ks=(1, 5, 10, 50, 100),
     )
     # popularity baseline under the same protocol
@@ -146,13 +137,20 @@ def run_ml1m(scale: str, seed: int = 0) -> dict:
 # OneTrans industrial replica track
 # ---------------------------------------------------------------------------
 
-def run_onetrans(scale: str, seed: int = 0, epochs: int = 3) -> dict:
+def run_onetrans(
+    scale: str,
+    seed: int = 0,
+    epochs: int = 3,
+    geometry: str = "S",
+    baselines: tuple = ("ns_only", "din"),
+) -> dict:
     import jax
 
     from recommend_tpu.config import get_config
     from recommend_tpu.data.pipeline import prefetch, ranking_batches
     from recommend_tpu.data.replica import make_onetrans_replica
     from recommend_tpu.evaluation.ranking_eval import RankingEvaluator
+    from recommend_tpu.models.din import DINRankingModel
     from recommend_tpu.training.metrics import exact_auc
     from recommend_tpu.training.ranking_trainer import RankingTrainer
 
@@ -173,9 +171,18 @@ def run_onetrans(scale: str, seed: int = 0, epochs: int = 3) -> dict:
     # bf16 matmuls are TPU-native; the CPU backend (small-scale smoke runs)
     # lacks the BF16×BF16 dot kernel
     on_tpu = jax.default_backend() not in ("cpu",)
+    # S = OneTrans-S-like (6L d=256); L = the paper's OneTrans-L geometry
+    # (8L d=384 FFN 1536, translation:207 — heads=3 so Dh=128 matches the
+    # lane-aligned flash kernels; the paper's 4 heads give Dh=96)
+    geo = {
+        "S": dict(embed_dim=256, num_layers=6, num_heads=2, ffn_dim=1024,
+                  pyramid_ratios=(0.5, 0.3, 0.2, 0.1, 0.05, 0.03)),
+        "L": dict(embed_dim=384, num_layers=8, num_heads=3, ffn_dim=1536,
+                  pyramid_ratios=(0.5, 0.3, 0.2, 0.1, 0.05, 0.03, 0.02, 0.01)),
+    }[geometry]
     base = dict(
-        embed_dim=256, num_layers=6, num_heads=2, ffn_dim=1024,
-        num_ns_tokens=12, pyramid_ratios=(0.5, 0.3, 0.2, 0.1, 0.05, 0.03),
+        **geo,
+        num_ns_tokens=12,
         batch_size=batch, use_mixed_precision=on_tpu, dropout_rate=0.0,
         feature_embed_dim=128, seq_item_feature_dim=128,
         use_sparse_embedding_updates=True, sparse_update_mode="rowwise",
@@ -187,8 +194,10 @@ def run_onetrans(scale: str, seed: int = 0, epochs: int = 3) -> dict:
             ("weekday", 7), ("device", 8),
         ),
         # the paper's production rmsprop(momentum .99999) diverges below
-        # ~100M samples (measured round 1) — adam for replica scale
+        # ~100M samples (measured round 1) — adam + cosine decay for the
+        # replica-scale convergence study (VERDICT round-3 item 1)
         dense_optimizer="adam", dense_lr=1e-3, dense_momentum=0.9,
+        dense_lr_schedule="cosine",
         sparse_lr=0.05,
     )
     cfg = get_config("ranking_base", **base)
@@ -205,18 +214,35 @@ def run_onetrans(scale: str, seed: int = 0, epochs: int = 3) -> dict:
     ev_mask = dbg["is_eval"]
     bayes = exact_auc(dbg["bayes_logit"][ev_mask], dbg["y_ctr"][ev_mask])
     observable = exact_auc(dbg["observable_logit"][ev_mask], dbg["y_ctr"][ev_mask])
-    steps = epochs * (tr_data.num_samples // batch)
+    steps_per_epoch = tr_data.num_samples // batch
     _log(f"onetrans-replica: train={tr_data.num_samples} eval="
          f"{ev_data.num_samples} latent_bayes={bayes:.4f} "
          f"observable_ceiling={observable:.4f} gen={gen_s:.0f}s; "
-         f"{steps} steps × batch {batch}")
+         f"{steps_per_epoch} steps/epoch × batch {batch}")
 
-    def train_and_eval(cfg, tag):
+    # capped eval subset for the per-epoch convergence curve (streaming AUC;
+    # the final numbers below use the full eval split + exact AUC)
+    curve_batches = min(100, ev_data.num_samples // batch)
+
+    def train_and_eval(cfg, tag, n_epochs, model=None):
+        import dataclasses as _dc
+
+        steps = n_epochs * steps_per_epoch
+        cfg = _dc.replace(cfg, lr_warmup_steps=min(1000, steps // 20))
         t0 = time.time()
-        trainer = RankingTrainer(cfg)
+        trainer = RankingTrainer(cfg, model=model, total_steps=steps)
+
+        def val_fn():
+            return itertools.islice(
+                ranking_batches(ev_data, cfg, batch, seed=1, num_epochs=1),
+                curve_batches,
+            )
+
         state = trainer.train(
             prefetch(ranking_batches(tr_data, cfg, batch, seed=seed), size=4),
             num_steps=steps,
+            val_fn=val_fn,
+            eval_every=steps_per_epoch,
             log_every=max(steps // 10, 1),
         )
         train_s = time.time() - t0
@@ -232,21 +258,48 @@ def run_onetrans(scale: str, seed: int = 0, epochs: int = 3) -> dict:
             {k: round(v, 5) for k, v in m.items()
              if "auc" in k or "uauc" in k or k == "num_samples"}))
         m["train_seconds"] = round(train_s, 1)
+        m["train_epochs"] = n_epochs
         m["examples_per_s"] = round(steps * batch / train_s, 1)
+        # per-epoch convergence curve (VERDICT round-3 item 1: the
+        # diminishing-returns evidence; streaming AUC on the capped subset)
+        m["convergence_curve"] = [
+            {"epoch": j + 1,
+             **{k: round(h[k], 5) for k in ("ctr_auc", "cvr_auc") if k in h}}
+            for j, h in enumerate(trainer.history["val"])
+        ]
         return m
 
-    full = train_and_eval(cfg, "OneTrans-S-like (full, sequences)")
-    cfg_ns = get_config("ranking_base", **dict(base, sequence_features=()))
-    ns = train_and_eval(cfg_ns, "NS-only baseline (DCNv2-class axis)")
+    tag = f"OneTrans-{geometry}"
+    full = train_and_eval(cfg, f"{tag} (full, sequences)", epochs)
+    results = {}
+    if "din" in baselines:
+        # the paper's actual Table-2 comparator class: DCNv2 cross network +
+        # DIN target attention over the behavior sequences — sequence-AWARE
+        # (translation:199-207); models/din.py
+        results["din"] = train_and_eval(
+            cfg, "DCNv2+DIN baseline (sequence-aware)", epochs,
+            model=DINRankingModel(cfg),
+        )
+    if "ns_only" in baselines:
+        # sequence-BLIND lower anchor (shows where the generator put the
+        # signal; NOT the DCNv2+DIN comparator — that is `din` above)
+        cfg_ns = get_config("ranking_base", **dict(base, sequence_features=()))
+        results["ns_only"] = train_and_eval(
+            cfg_ns, "NS-only anchor (sequence-blind)", min(epochs, 3)
+        )
+    ns = results.get("din") or results.get("ns_only") or {}
 
     lifts = {}
     for k in ("ctr_auc", "ctr_uauc", "cvr_auc", "cvr_uauc"):
         if k in full and k in ns and ns[k] == ns[k] and ns[k] != 0:
             lifts[k] = round((full[k] - ns[k]) / abs(ns[k]) * 100, 3)
     return {
-        "config": "OneTrans-S-like (6L d=256, 12 NS, pyramid, flash, sparse)"
+        "config": f"OneTrans-{geometry} "
+                  f"({geo['num_layers']}L d={geo['embed_dim']}, 12 NS, "
+                  "pyramid, flash, sparse)"
                   " on the industrial replica, train-on-past/eval-on-future",
         "scale": scale,
+        "geometry": geometry,
         "dataset": {
             "num_users": num_users, "num_items": num_items,
             "train_impressions": tr_data.num_samples,
@@ -265,8 +318,10 @@ def run_onetrans(scale: str, seed: int = 0, epochs: int = 3) -> dict:
                           " by the perf benches (V=1M/10M), not here.",
         },
         "onetrans": full,
-        "ns_only_baseline": ns,
-        "sequence_lift_pct": lifts,
+        "din_baseline": results.get("din"),
+        "ns_only_baseline": results.get("ns_only"),
+        "lift_vs_baseline_pct": lifts,
+        "lift_baseline": ("din" if "din" in results else "ns_only"),
         "reference_anchors": {
             "baseline_ctr_auc": 0.79623, "baseline_ctr_uauc": 0.71927,
             "baseline_cvr_auc": 0.90361, "baseline_cvr_uauc": 0.71955,
@@ -285,6 +340,10 @@ def main():
     ap.add_argument("--seed", type=int, default=0)
     ap.add_argument("--epochs", type=int, default=3,
                     help="onetrans-replica training epochs")
+    ap.add_argument("--geometry", choices=("S", "L"), default="S",
+                    help="OneTrans model geometry (L = paper's 8L d=384)")
+    ap.add_argument("--baselines", default="ns_only,din",
+                    help="comma list from {ns_only,din}; empty for none")
     ap.add_argument("--output", default=None)
     args = ap.parse_args()
 
@@ -294,7 +353,10 @@ def main():
     if args.track in ("ml1m", "both"):
         report["ml1m_replica"] = run_ml1m(args.scale, args.seed)
     if args.track in ("onetrans", "both"):
-        report["onetrans_replica"] = run_onetrans(args.scale, args.seed, args.epochs)
+        report["onetrans_replica"] = run_onetrans(
+            args.scale, args.seed, args.epochs, args.geometry,
+            tuple(b for b in args.baselines.split(",") if b),
+        )
     print(json.dumps(report, indent=2, default=float))
     if args.output:
         with open(args.output, "w") as f:

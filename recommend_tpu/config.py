@@ -190,6 +190,11 @@ class RankingConfig:
     # dual optimizer (config.py:39-52; paper §4.1.4 translation:190)
     dense_optimizer: str = "rmsprop"
     dense_lr: float = 0.005
+    # "constant" (reference parity) or "cosine" (warmup→cosine decay over the
+    # trainer's total_steps — the convergence-study schedule; requires the
+    # trainer to be constructed with total_steps)
+    dense_lr_schedule: str = "constant"
+    lr_warmup_steps: int = 0
     dense_momentum: float = 0.99999
     sparse_optimizer: str = "adagrad"
     sparse_lr: float = 0.1

@@ -26,9 +26,11 @@ leave-one-out evaluation.
 OneTrans industrial replica (translation:168-175: 29.1B impressions, 27.9M
 users, 10.2M items — scaled down ~1000× by default, stated in the report):
 Zipf item popularity, lognormal user activity, 3 behavior sequences
-(click ⊃ cart ⊃ purchase), CTR ≈ 10% base rate with CVR conditional on
-click, labels driven by user×item latent affinity + a recency-weighted
-history-match term + feature effects + irreducible noise.
+(click ⊃ cart ⊃ purchase), CTR ≈ 18% label base rate (alpha = −3.6 in
+``signal_weights`` plus the positive affinity/match terms; measured 17.7%
+at the full-scale defaults — pinned by tests/test_replica.py) with CVR
+conditional on click, labels driven by user×item latent affinity + a
+recency-weighted history-match term + feature effects + irreducible noise.
 """
 
 from __future__ import annotations
@@ -265,8 +267,10 @@ def make_onetrans_replica(
         candidate is user-affine (50%) or popularity-exposed (50%);
         history sequences = stream before t (no leakage of the candidate).
       - labels: ctr_logit = α + w_a·affinity(u(t), v) + w_m·match(recent
-        clicks, v) + price/hour effects + N(0, noise_sigma); cvr given click
-        uses the same structure with different weights (base ≈18%).
+        clicks, v) + price/hour effects + N(0, noise_sigma) — the affinity/
+        match terms are net-positive, so the realized CTR base rate is ≈18%
+        (not sigmoid(α)); cvr given click uses the same structure with
+        different weights (realized CVR|click ≈ 36%, ≈6% of impressions).
 
     Split: the LAST ``eval_frac`` of every user's impressions (stream order)
     form the eval set — train on the past, evaluate on the future.

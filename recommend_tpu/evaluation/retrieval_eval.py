@@ -48,7 +48,12 @@ class RetrievalEvaluator:
         max_k: Optional[int] = None,
     ) -> Dict[str, float]:
         """Full-corpus metrics: for each (history → target) pair, retrieve
-        top max(ks) from the whole corpus and score the target's rank."""
+        top max(ks) from the whole corpus and score the target's rank.
+
+        Batches may carry ``num_real`` (< batch size) to mark padded
+        duplicate rows appended by fixed-shape batch builders
+        (`replica.leave_one_out_batches`); padded rows are excluded from
+        every metric, so any batch size is exact."""
         if self.index.item_embeddings is None:
             self.index.build(data.corpus_features())
         kmax = max_k or max(ks)
@@ -62,6 +67,8 @@ class RetrievalEvaluator:
             interests = self._fwd(self.params, feats, valid)
             scores, ids = self.index.search(interests, kmax)  # [B, kmax]
             targets = np.asarray(batch["target"]["video_id"])
+            num_real = int(batch.get("num_real", len(targets)))
+            ids, targets = ids[:num_real], targets[:num_real]
             for row_ids, t in zip(ids, targets):
                 pos = np.nonzero(row_ids == t)[0]
                 rank = int(pos[0]) if len(pos) else kmax

@@ -80,6 +80,49 @@ class UnifiedTokenizer(nn.Module):
         cdt = jnp.dtype(self.config.active_compute_dtype)
         return lookup_with_dummy(emb.embedding, ids, dummy).astype(cdt)
 
+    def ns_concat(
+        self,
+        non_seq: Dict[str, jax.Array],
+        dummies: Optional[Dict[str, jax.Array]] = None,
+        features: Optional[Tuple[str, ...]] = None,
+    ) -> jax.Array:
+        """Raw concatenated per-feature embeddings [B, F·fe (+ semantic dims)]
+        — the pre-projection NS representation. Shared by the auto-split
+        tokenizer (`ns_tokens`) and by non-transformer baselines (the
+        DCNv2+DIN comparator of the paper's Table 2 operates on this concat,
+        not on the OneTrans token projection). `features` restricts to a
+        subset (e.g. the candidate-item group for DIN's attention query)."""
+        cfg = self.config
+        feats = cfg.non_seq_features if features is None else features
+        parts = [
+            self._lookup(
+                self._embeds[f], non_seq[f],
+                None if dummies is None else dummies.get(f"ns_{f}"),
+            )
+            for f in feats
+        ]
+        if features is None:
+            for name, dim in cfg.semantic_features:
+                feat = non_seq[name].astype(parts[0].dtype)
+                assert feat.shape[-1] == dim, (name, feat.shape, dim)
+                parts.append(feat)
+        return jnp.concatenate(parts, axis=-1)
+
+    def seq_item_embeds(
+        self,
+        sf: str,
+        ids: jax.Array,
+        dummies: Optional[Dict[str, jax.Array]] = None,
+    ) -> jax.Array:
+        """Projected item vectors [B, L, d] for ONE behavior sequence —
+        shared item table + shared projection, no [SEP] (the per-sequence
+        unit DIN-style target attention consumes)."""
+        e = self._lookup(
+            self.item_embed, ids,
+            None if dummies is None else dummies.get(f"seq_{sf}"),
+        )
+        return self.seq_proj(e)
+
     def ns_tokens(
         self,
         non_seq: Dict[str, jax.Array],
@@ -92,18 +135,7 @@ class UnifiedTokenizer(nn.Module):
         auto-split projection — the "semantic side-features as NS tokens"
         integration (SURVEY.md §7 phase 9)."""
         cfg = self.config
-        parts = [
-            self._lookup(
-                self._embeds[f], non_seq[f],
-                None if dummies is None else dummies.get(f"ns_{f}"),
-            )
-            for f in cfg.non_seq_features
-        ]
-        for name, dim in cfg.semantic_features:
-            feat = non_seq[name].astype(parts[0].dtype)
-            assert feat.shape[-1] == dim, (name, feat.shape, dim)
-            parts.append(feat)
-        x = jnp.concatenate(parts, axis=-1)  # [B, F·fe (+ semantic dims)]
+        x = self.ns_concat(non_seq, dummies)
         x = self.ns_proj(x)
         return x.reshape(x.shape[0], cfg.num_ns_tokens, cfg.embed_dim)
 

@@ -518,8 +518,9 @@ def _fused_fwd_impl(q, k, v, kv_bias, *, sm_scale, q_offset, causal, g):
             transcendentals=bh_p * lq_p * lkv_p,
         ),
     )(qp, kp, vp, bias_p)
-    # lse keeps its lq_p padding (deterministic values — q tail rows are
-    # sanitized to 0 in-kernel) and rides the residuals padded
+    # lse keeps its lq_p padding (deterministic finite values — tail rows'
+    # softmax runs over zeroed q/k, NOT zero; backward correctness rests on
+    # the p row-mask, not on the lse values) and rides the residuals padded
     return out[:bh], lse[:bh]
 
 
@@ -1124,13 +1125,20 @@ def _fused_group_for(h: int, lq: int, lkv: int) -> int:
     The bwd kernels keep ≈8 f32 [lq_p, lkv_p]-sized temporaries live per
     batch row (s/p/dp/ds per segment + bands; measured: g=8,h=2 at
     192×384 needs 16.5 MB, g=2,h=3 at 368×652 needs 17.2 MB). Budget 13 MB
-    to leave headroom for the bf16 input tiles."""
+    to leave headroom for the bf16 input tiles.
+
+    Returns 0 when even a SINGLE row's temporaries exceed the budget —
+    callers must then fall back to the blocked flash path instead of
+    dispatching the whole-tile kernel (which would fail Mosaic compilation;
+    advisor round-3 item 2)."""
     lq_p = _round_up(lq, 16)
     lkv_p = _round_up(lkv, 128) + 128  # + NS segment / slack
     per_row = lq_p * lkv_p * 4 * 8
     g = max(1, FUSED_GROUP // h)
     while g > 1 and g * per_row > 13 * 2**20:
         g //= 2
+    if g == 1 and per_row > 13 * 2**20:
+        return 0
     return g
 
 
@@ -1150,13 +1158,14 @@ def flash_attention_bhld_segkv(
     b, lq, h, dh = q.shape
     ls, n = k_s.shape[1], k_ns.shape[1]
     sm_scale = 1.0 / float(dh) ** 0.5
-    if ls + n <= FUSED_MAX_KV and dh % 128 == 0:
+    g = _fused_group_for(h, lq, ls + n)
+    if ls + n <= FUSED_MAX_KV and dh % 128 == 0 and g >= 1:
         s_bias = jnp.where(s_valid, 0.0, NEG_INF).astype(jnp.float32)
         out = fused_mhseg_band_attention(
             q.reshape(b, lq, h * dh), k_s.reshape(b, ls, h * dh),
             v_s.reshape(b, ls, h * dh), k_ns.reshape(b, n, h * dh),
             v_ns.reshape(b, n, h * dh), s_bias, sm_scale, q_offset, causal,
-            h, _fused_group_for(h, lq, ls + n),
+            h, g,
         )
         return out.reshape(b, lq, h, dh).astype(q.dtype)
     kv_valid = jnp.concatenate(
@@ -1189,25 +1198,30 @@ def flash_attention_bhld(
     sm_scale = 1.0 / float(dh) ** 0.5
     bias1 = jnp.where(kv_valid, 0.0, NEG_INF).astype(jnp.float32)  # [B, Lkv]
 
-    if lkv <= FUSED_MAX_KV and dh % 128 == 0:
+    g = _fused_group_for(h, lq, lkv)
+    if lkv <= FUSED_MAX_KV and dh % 128 == 0 and g >= 1:
         # model-layout kernel: [B, L, H·Dh] with whole-lane per-head column
         # blocks — no swapaxes copies, no per-head bias materialization
         # group scales down with head count: each grid step does h heads'
         # worth of f32 scratch, and the backward's worst-case VMEM stack is
-        # capped at 16 MB (g=8 × h=2 overflows it by 3%)
+        # capped at 16 MB (g=8 × h=2 overflows it by 3%); g == 0 means even
+        # one row busts the budget → blocked path below
         out = fused_mh_band_attention(
             q.reshape(b, lq, h * dh), k.reshape(b, lkv, h * dh),
             v.reshape(b, lkv, h * dh), bias1, sm_scale, q_offset, causal, h,
-            _fused_group_for(h, lq, lkv),
+            g,
         )
         return out.reshape(b, lq, h, dh).astype(q.dtype)
 
     bias = jnp.broadcast_to(bias1[:, None, :], (b, h, lkv)).reshape(b * h, lkv)
     to_bh = lambda x: jnp.swapaxes(x, 1, 2).reshape(b * h, x.shape[1], dh)
 
-    if lkv <= FUSED_MAX_KV:
+    # bh layout: one head per grid row, so the VMEM budget is taken at h=1
+    g_bh = _fused_group_for(1, lq, lkv)
+    if lkv <= FUSED_MAX_KV and g_bh >= 1:
         out = fused_band_attention(
-            to_bh(q), to_bh(k), to_bh(v), bias, sm_scale, q_offset, causal
+            to_bh(q), to_bh(k), to_bh(v), bias, sm_scale, q_offset, causal,
+            group=g_bh,
         )
         return jnp.swapaxes(out.reshape(b, h, lq, dh), 1, 2).astype(q.dtype)
 

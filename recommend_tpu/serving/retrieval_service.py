@@ -124,6 +124,17 @@ class RetrievalIndex:
             }
             outs.append(self._embed_fn(self.params, chunk))
         self.item_embeddings = jnp.concatenate(outs, axis=0)
+        if (
+            self.mesh is not None
+            and self.item_embeddings.shape[0] % self.mesh.shape["data"] == 0
+        ):
+            # place the corpus row-sharded ONCE: the scan (sharded_topk) and
+            # the a2a row-fetch (`fetch_items`) both serve from this layout
+            from recommend_tpu.parallel.embedding_sharding import shard_table
+
+            self.item_embeddings = shard_table(
+                self.mesh, self.item_embeddings, axis="data"
+            )
         if self.quantize == "int8":
             self.q_items, self.q_scales = _quantize(self.item_embeddings)
         if self.index_type == "ivf":
@@ -253,6 +264,52 @@ class RetrievalIndex:
         if self._last_corpus is not None:
             self.build(self._last_corpus)
 
+    def fetch_items(self, item_ids) -> jax.Array:
+        """Embedding rows for the given item ids → [N, D].
+
+        On a sharded index (mesh set, corpus divisible) this is served by the
+        **a2a embedding-server wire protocol**
+        (`parallel.embedding_sharding.sharded_lookup_a2a` — dedup ids →
+        all_to_all requests to the owning shards → local gather → all_to_all
+        rows back): the multi-host serving topology the protocol was built
+        for (kuaiformer translation:214's dedicated embedding servers).
+        Single-device indexes take a plain gather."""
+        assert self.item_embeddings is not None, "call build() first"
+        ids = jnp.asarray(np.asarray(item_ids, dtype=np.int64))
+        if self.mesh is not None and self.item_embeddings.shape[0] % self.mesh.shape["data"] == 0:
+            from jax.sharding import NamedSharding, PartitionSpec as P
+
+            from recommend_tpu.parallel.embedding_sharding import (
+                sharded_lookup_a2a,
+            )
+
+            n = self.mesh.shape["data"]
+            b = len(ids)
+            pad = (-b) % n
+            # pad with the out-of-range sentinel (resolves to zero rows)
+            padded = jnp.concatenate(
+                [ids, jnp.full((pad,), self.item_embeddings.shape[0], ids.dtype)]
+            )
+            padded = jax.device_put(padded, NamedSharding(self.mesh, P("data")))
+            rows = sharded_lookup_a2a(
+                self.mesh, self.item_embeddings, padded, axis="data"
+            )
+            return rows[:b]
+        return jnp.take(self.item_embeddings, ids, axis=0)
+
+    def similar_items(
+        self, item_ids, top_k: Optional[int] = None
+    ) -> Tuple[np.ndarray, np.ndarray]:
+        """Item-to-item retrieval channel ("watched X → also watch Y"): use
+        the given items' embedding rows as queries over the corpus. One of
+        the cascade's multi-channel recall sources (kuaiformer
+        translation:209-214 describes multi-channel retrieval + dedup); the
+        query rows come from `fetch_items` (a2a-served when sharded). The
+        seed item itself ranks first by construction (score = |v|²) — the
+        caller drops position 0 or dedups across channels."""
+        rows = self.fetch_items(item_ids)  # [N, D]
+        return self.search(rows[:, None, :], top_k)
+
     def search(
         self, interests: jax.Array, top_k: Optional[int] = None
     ) -> Tuple[np.ndarray, np.ndarray]:
@@ -361,6 +418,21 @@ class RealTimeRecommender:
             out.append({"video_id": int(i), "score": float(s)})
             if len(out) >= top_k:
                 break
+        self._latencies.append(time.perf_counter() - t0)
+        return out
+
+    def similar_to(self, video_id: int, top_k: int = 10) -> List[Dict[str, float]]:
+        """Item-to-item recall channel: neighbors of one item in embedding
+        space (`RetrievalIndex.similar_items`; a2a row-fetch when the index
+        is sharded). The seed item is excluded — combine with
+        `get_recommendations` for the cascade's multi-channel union."""
+        t0 = time.perf_counter()
+        scores, ids = self.index.similar_items([int(video_id)], top_k + 1)
+        out = [
+            {"video_id": int(i), "score": float(s)}
+            for s, i in zip(scores[0], ids[0])
+            if int(i) != int(video_id)
+        ][:top_k]
         self._latencies.append(time.perf_counter() - t0)
         return out
 

@@ -75,7 +75,9 @@ def _is_sparse_path(path: tuple) -> bool:
     return any(k == "embedding" for k in keys)
 
 
-def make_ranking_optimizer(cfg: RankingConfig) -> optax.GradientTransformation:
+def make_ranking_optimizer(
+    cfg: RankingConfig, total_steps: int = 0
+) -> optax.GradientTransformation:
     """Dual optimizer: sparse/adagrad + dense/rmsprop, global-norm clip.
 
     The reference clips per-tensor (oneTrans train.py:133-135); we use the
@@ -84,10 +86,22 @@ def make_ranking_optimizer(cfg: RankingConfig) -> optax.GradientTransformation:
     With ``use_sparse_embedding_updates`` the embedding tables are excluded
     here (zero update) and maintained by the touched-row sparse-adagrad path
     in the trainer (recommend_tpu.ops.sparse_embed).
+
+    ``cfg.dense_lr_schedule == "cosine"`` wraps the dense LR in
+    warmup→cosine decay over ``total_steps`` (the convergence-study
+    schedule); "constant" is reference parity.
     """
+    if cfg.dense_lr_schedule == "cosine":
+        assert total_steps > 0, "cosine schedule needs trainer total_steps"
+        lr = warmup_cosine_schedule(
+            cfg.dense_lr, cfg.lr_warmup_steps, total_steps
+        )
+    else:
+        assert cfg.dense_lr_schedule == "constant", cfg.dense_lr_schedule
+        lr = cfg.dense_lr
     dense = {
-        "rmsprop": optax.rmsprop(cfg.dense_lr, momentum=cfg.dense_momentum),
-        "adam": optax.adam(cfg.dense_lr),
+        "rmsprop": optax.rmsprop(lr, momentum=cfg.dense_momentum),
+        "adam": optax.adam(lr),
     }[cfg.dense_optimizer]
     if cfg.use_sparse_embedding_updates:
         sparse = optax.set_to_zero()

@@ -43,11 +43,18 @@ class RankingTrainer:
         checkpoint_dir: Optional[str] = None,
         log_dir: Optional[str] = None,
         mesh=None,
+        model=None,
+        total_steps: int = 0,
     ):
+        """``model``: any module with RankingModel's apply signature — e.g.
+        the DCNv2+DIN baseline (models/din.py). It must mount its feature
+        tables under a `tokenizer` submodule for the sparse-update split.
+        ``total_steps`` feeds the cosine dense-LR schedule when
+        cfg.dense_lr_schedule == "cosine"."""
         self.cfg = cfg
         self.mesh = mesh
-        self.model = RankingModel(cfg)
-        self.optimizer = make_ranking_optimizer(cfg)
+        self.model = RankingModel(cfg) if model is None else model
+        self.optimizer = make_ranking_optimizer(cfg, total_steps)
         self.ckpt = CheckpointManager(checkpoint_dir) if checkpoint_dir else None
         self.logger = MetricLogger(log_dir)
         self.history: Dict[str, list] = {"train": [], "val": []}

@@ -188,3 +188,36 @@ def test_segmented_kv_matches_concat_reference():
         np.testing.assert_allclose(
             np.asarray(a), np.asarray(b_), atol=5e-4, rtol=5e-4, err_msg=name
         )
+
+
+def test_fused_group_vmem_budget_fallback():
+    """`_fused_group_for` returns 0 when even one grid row's backward
+    temporaries bust the ~13 MB VMEM budget — dispatchers must then take the
+    blocked flash path, not the whole-tile kernel (advisor round-3 item 2)."""
+    from recommend_tpu.ops.pallas.flash_attention import _fused_group_for
+
+    # bench-scale geometries still group
+    assert _fused_group_for(2, 192, 384) >= 1
+    assert _fused_group_for(3, 368, 652) >= 1
+    # near-FUSED_MAX_KV with large Lq: one row alone needs
+    # 1024·1152·32 B ≈ 36 MB > budget → 0 (fall back)
+    assert _fused_group_for(1, 1024, 1024) == 0
+    # the model-layout dispatcher must route that geometry to the blocked
+    # kernel without Mosaic compilation (interpret mode exercises dispatch)
+    import jax
+    import jax.numpy as jnp
+    from jax.experimental import pallas as pl  # noqa: F401
+    from jax.experimental.pallas import tpu as pltpu
+
+    from recommend_tpu.ops.pallas.flash_attention import flash_attention_bhld
+
+    b, lq, lkv, h, dh = 1, 1024, 1024, 1, 128
+    key = jax.random.key(0)
+    q = jax.random.normal(key, (b, lq, h, dh), jnp.float32) * 0.1
+    k = jax.random.normal(jax.random.key(1), (b, lkv, h, dh), jnp.float32) * 0.1
+    v = jax.random.normal(jax.random.key(2), (b, lkv, h, dh), jnp.float32) * 0.1
+    valid = jnp.ones((b, lkv), bool)
+    with pltpu.force_tpu_interpret_mode():
+        out = flash_attention_bhld(q, k, v, valid, q_offset=0, causal=True)
+    assert out.shape == (b, lq, h, dh)
+    assert bool(jnp.all(jnp.isfinite(out)))

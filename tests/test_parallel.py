@@ -403,3 +403,45 @@ def test_retrieval_sparse_row_sharded_matches_single_device(devices):
         np.asarray(d1.params["params"]["embed"]["video_id"]["embedding"]),
         atol=2e-5,
     )
+
+
+def test_sharded_index_similar_items_matches_single_device():
+    """The a2a embedding-server wire protocol's serving consumer
+    (VERDICT round-3 item 7): `RetrievalIndex.fetch_items`/`similar_items`
+    on a data-sharded corpus — row-fetch via `sharded_lookup_a2a`, scan via
+    `sharded_topk_retrieval` — must match the single-device index exactly."""
+    from recommend_tpu.data.synthetic import make_retrieval_data
+    from recommend_tpu.data.pipeline import retrieval_batches
+    from recommend_tpu.models.retrieval import RetrievalTower
+    from recommend_tpu.serving.retrieval_service import RetrievalIndex
+
+    cfg = get_config(
+        "retrieval_small",
+        embed_dim=32, num_layers=1, num_heads=2, ffn_dim=64, max_seq_len=16,
+        compression_schedule=((8, 4), (8, 1)), video_vocab_size=500,
+        dropout_rate=0.0, compute_dtype="float32", top_k=20,
+    )
+    data = make_retrieval_data(cfg, num_users=10, num_videos=256, seed=0)
+    model = RetrievalTower(cfg)
+    batch = next(iter(retrieval_batches(data, cfg, batch_size=4, num_epochs=1)))
+    params = jax.jit(model.init)(
+        jax.random.key(0),
+        {k: jnp.asarray(v) for k, v in batch["history"].items()},
+        jnp.asarray(batch["history_valid"]),
+    )
+    single = RetrievalIndex(cfg, model, params, embed_batch=64)
+    single.build(data.corpus_features())
+    mesh = make_mesh(data=8)
+    sharded = RetrievalIndex(cfg, model, params, embed_batch=64, mesh=mesh)
+    sharded.build(data.corpus_features())
+    assert tuple(sharded.item_embeddings.sharding.spec) == ("data", None)
+
+    seeds = [0, 7, 100, 255]  # batch of 4 pads to 8 shards inside fetch
+    rows_s = np.asarray(sharded.fetch_items(seeds))
+    rows_1 = np.asarray(single.fetch_items(seeds))
+    np.testing.assert_allclose(rows_s, rows_1, atol=1e-6)
+
+    s_sc, s_ids = sharded.similar_items(seeds, top_k=10)
+    d_sc, d_ids = single.similar_items(seeds, top_k=10)
+    np.testing.assert_array_equal(np.asarray(s_ids), np.asarray(d_ids))
+    np.testing.assert_allclose(np.asarray(s_sc), np.asarray(d_sc), atol=1e-5)

@@ -628,6 +628,87 @@ def test_score_session_defers_refresh_off_request_path(ranking_engine):
             assert abs(a[t] - b[t]) < 1e-6, (t, a[t], b[t])
 
 
+def test_staggered_maintenance_via_maintain(ranking_engine):
+    """auto_maintain=False: score_session only FLAGS a due re-anchor;
+    `maintain()` executes it idle-time; scoring stays exact either way."""
+    eng = RankingInferenceEngine(
+        ranking_engine.cfg, ranking_engine.params, max_seq_len=8, slack=4,
+        refresh_every_compactions=1,
+    )
+    eng.auto_maintain = False
+    user_ctx, _, _ = _features()
+    candidates = [_features(s)[1] for s in range(2)]
+    eng.update_session("m", {"click_seq": [1, 2]})
+    eng.score_session("m", user_ctx, candidates, new_items={"click_seq": [3, 4]})
+    eng.score_session("m", user_ctx, candidates, new_items={"click_seq": [5, 6]})
+    # buffer full (count=4); the next append folds → re-anchor becomes due
+    eng.score_session("m", user_ctx, candidates, new_items={"click_seq": [7]})
+    sess = eng._sessions["m"]
+    # re-anchor became due (one compaction) but was only flagged
+    assert sess.get("needs_refresh") is True
+    assert sess["compactions"] == 1
+    assert eng.maintain() == 1
+    assert eng.maintain() == 0  # nothing left pending
+    sess = eng._sessions["m"]
+    assert sess["compactions"] == 0 and "needs_refresh" not in sess
+    via = eng.score_session("m", user_ctx, candidates)
+    direct = eng.score_request(
+        user_ctx, {"click_seq": [1, 2, 3, 4, 5, 6, 7]}, candidates
+    )
+    for a, b in zip(direct, via):
+        for t in eng.cfg.tasks:
+            assert abs(a[t] - b[t]) < 1e-6, (t, a[t], b[t])
+
+
+def test_unmaintained_session_still_exact(ranking_engine):
+    """If `maintain()` is never called, the exhaustion branch re-encodes
+    inline and scoring stays exact indefinitely."""
+    eng = RankingInferenceEngine(
+        ranking_engine.cfg, ranking_engine.params, max_seq_len=8, slack=4,
+        refresh_every_compactions=1,
+    )
+    eng.auto_maintain = False
+    user_ctx, _, _ = _features()
+    candidates = [_features(s)[1] for s in range(2)]
+    all_ids = []
+    nxt = 1
+    eng.update_session("n", {"click_seq": [nxt, nxt + 1]})
+    all_ids += [nxt, nxt + 1]
+    nxt += 2
+    # 5 Δ=2 appends: fold at the 3rd (flag), buffer refills, the 5th hits
+    # the exhaustion branch (compactions ≥ refresh_every) → INLINE re-encode
+    for _ in range(5):
+        eng.score_session("n", user_ctx, candidates,
+                          new_items={"click_seq": [nxt, nxt + 1]})
+        all_ids += [nxt, nxt + 1]
+        nxt += 2
+    sess = eng._sessions["n"]
+    assert sess["count"] == 0 and sess["compactions"] == 0  # re-encoded
+    # right after the inline exhaustion refresh the cache is exact
+    via = eng.score_session("n", user_ctx, candidates)
+    direct = eng.score_request(
+        user_ctx, {"click_seq": all_ids[-8:]}, candidates
+    )
+    for a, b in zip(direct, via):
+        for t in eng.cfg.tasks:
+            assert abs(a[t] - b[t]) < 1e-6, (t, a[t], b[t])
+    # a further unmaintained append stays servable (drift is the documented
+    # cache-covers-older-history effect — its magnitude at this toy scale
+    # (window 8, random params) is not meaningful; the realistic-regime
+    # bound is pinned by test_session_drift_bounded_realistic_regime)
+    eng.score_session("n", user_ctx, candidates,
+                      new_items={"click_seq": [nxt, nxt + 1]})
+    all_ids += [nxt, nxt + 1]
+    via = eng.score_session("n", user_ctx, candidates)
+    direct = eng.score_request(
+        user_ctx, {"click_seq": all_ids[-8:]}, candidates
+    )
+    for a, b in zip(direct, via):
+        for t in eng.cfg.tasks:
+            assert 0.0 < b[t] < 1.0 and b[t] == b[t]
+            assert abs(a[t] - b[t]) < 0.15, (t, a[t], b[t])
+
+
 def test_update_session_bad_request_leaves_session_unchanged(ranking_engine):
     """An unknown sequence feature (or non-int id) must not partially mutate
     the session's id windows."""
@@ -769,3 +850,23 @@ def test_padding_exhausted_refresh_does_not_double_append(ranking_engine):
                                 cands)
     for t in cfg.tasks:
         np.testing.assert_allclose(got[0][t], want[0][t], atol=1e-5)
+
+
+def test_similar_items_single_device(retrieval_setup):
+    """Item-to-item channel: the seed item ranks first (score = |v|²) and
+    `similar_to` excludes it."""
+    cfg, model, params, data = retrieval_setup
+    index = RetrievalIndex(cfg, model, params, embed_batch=64)
+    index.build(data.corpus_features())
+    scores, ids = index.similar_items([3, 17], top_k=5)
+    assert ids.shape == (2, 5)
+    assert ids[0, 0] == 3 and ids[1, 0] == 17
+    rec = RealTimeRecommender(cfg, model, params, index)
+    out = rec.similar_to(3, top_k=4)
+    assert len(out) == 4
+    assert all(r["video_id"] != 3 for r in out)
+    # fetch_items returns the exact stored rows
+    rows = np.asarray(index.fetch_items([3, 17]))
+    np.testing.assert_allclose(
+        rows, np.asarray(index.item_embeddings)[[3, 17]], atol=1e-6
+    )
