@@ -143,7 +143,12 @@ def run_onetrans(
     epochs: int = 3,
     geometry: str = "S",
     baselines: tuple = ("ns_only", "din"),
+    mesh_devices: int = 0,
 ) -> dict:
+    """``mesh_devices`` > 0 trains under a data-parallel mesh of that many
+    devices (virtual CPU devices in CI — the multi-chip quality proof;
+    tests/test_parallel.py::test_quality_small_dp_mesh_matches_single_device
+    asserts mesh == single-device metrics end-to-end)."""
     import jax
 
     from recommend_tpu.config import get_config
@@ -229,8 +234,13 @@ def run_onetrans(
 
         steps = n_epochs * steps_per_epoch
         cfg = _dc.replace(cfg, lr_warmup_steps=min(1000, steps // 20))
+        mesh = None
+        if mesh_devices:
+            from recommend_tpu.parallel.mesh import make_mesh
+
+            mesh = make_mesh(data=mesh_devices)
         t0 = time.time()
-        trainer = RankingTrainer(cfg, model=model, total_steps=steps)
+        trainer = RankingTrainer(cfg, model=model, total_steps=steps, mesh=mesh)
 
         def val_fn():
             return itertools.islice(
@@ -344,6 +354,9 @@ def main():
                     help="OneTrans model geometry (L = paper's 8L d=384)")
     ap.add_argument("--baselines", default="ns_only,din",
                     help="comma list from {ns_only,din}; empty for none")
+    ap.add_argument("--mesh", type=int, default=0,
+                    help="train the onetrans track under a data-parallel "
+                         "mesh of N devices (virtual CPU mesh in CI)")
     ap.add_argument("--output", default=None)
     args = ap.parse_args()
 
@@ -356,6 +369,7 @@ def main():
         report["onetrans_replica"] = run_onetrans(
             args.scale, args.seed, args.epochs, args.geometry,
             tuple(b for b in args.baselines.split(",") if b),
+            mesh_devices=args.mesh,
         )
     print(json.dumps(report, indent=2, default=float))
     if args.output:

@@ -281,7 +281,10 @@ def make_onetrans_replica(
     n_cat = cfg.vocab_size("category")
     n_brand = cfg.vocab_size("brand")
     n_price = cfg.vocab_size("price_bucket")
-    assert num_items <= cfg.vocab_size("item_id"), "raise item_id vocab"
+    # item ids are stored +1 (0 = padding id) so the table needs
+    # num_items + 1 rows — equality would make the last item's lookups read
+    # out of range (silent garbage/NaN on some backends)
+    assert num_items < cfg.vocab_size("item_id"), "raise item_id vocab (+1 for padding)"
     assert num_users <= cfg.vocab_size("user_id"), "raise user_id vocab"
 
     # ---- items ----------------------------------------------------------

