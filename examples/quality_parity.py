@@ -144,6 +144,7 @@ def run_onetrans(
     geometry: str = "S",
     baselines: tuple = ("ns_only", "din"),
     mesh_devices: int = 0,
+    dense_lr: float = 1e-3,
 ) -> dict:
     """``mesh_devices`` > 0 trains under a data-parallel mesh of that many
     devices (virtual CPU devices in CI — the multi-chip quality proof;
@@ -200,8 +201,11 @@ def run_onetrans(
         ),
         # the paper's production rmsprop(momentum .99999) diverges below
         # ~100M samples (measured round 1) — adam + cosine decay for the
-        # replica-scale convergence study (VERDICT round-3 item 1)
-        dense_optimizer="adam", dense_lr=1e-3, dense_momentum=0.9,
+        # replica-scale convergence study (VERDICT round-3 item 1).
+        # NOTE: the L geometry (8L d=384) is unstable at the S default
+        # 1e-3 at full scale (grad-norm spikes, AUC stuck at chance —
+        # measured round 4); pass --lr 5e-4 for L
+        dense_optimizer="adam", dense_lr=dense_lr, dense_momentum=0.9,
         dense_lr_schedule="cosine",
         sparse_lr=0.05,
     )
@@ -357,6 +361,8 @@ def main():
     ap.add_argument("--mesh", type=int, default=0,
                     help="train the onetrans track under a data-parallel "
                          "mesh of N devices (virtual CPU mesh in CI)")
+    ap.add_argument("--lr", type=float, default=1e-3,
+                    help="dense (adam) peak LR for the onetrans track")
     ap.add_argument("--output", default=None)
     args = ap.parse_args()
 
@@ -370,6 +376,7 @@ def main():
             args.scale, args.seed, args.epochs, args.geometry,
             tuple(b for b in args.baselines.split(",") if b),
             mesh_devices=args.mesh,
+            dense_lr=args.lr,
         )
     print(json.dumps(report, indent=2, default=float))
     if args.output:
