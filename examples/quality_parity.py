@@ -237,7 +237,15 @@ def run_onetrans(
         import dataclasses as _dc
 
         steps = n_epochs * steps_per_epoch
-        cfg = _dc.replace(cfg, lr_warmup_steps=min(1000, steps // 20))
+        # NO dense-LR warmup: measured (round 4, full-scale S): a 1000-step
+        # warmup drops epoch-1 CTR AUC from 0.627 to 0.522 and the model
+        # stays at chance for 5+ epochs — while the dense net idles at
+        # near-zero LR, the sparse item table keeps training at full
+        # adagrad LR against random-net gradients, burning grad² into its
+        # accumulators (permanently shrinking its effective LR) before any
+        # real signal exists. Cosine DECAY alone (peak from step 0) keeps
+        # round-3's early dynamics and adds late-epoch annealing.
+        cfg = _dc.replace(cfg, lr_warmup_steps=0)
         mesh = None
         if mesh_devices:
             from recommend_tpu.parallel.mesh import make_mesh
