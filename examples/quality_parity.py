@@ -200,13 +200,18 @@ def run_onetrans(
             ("weekday", 7), ("device", 8),
         ),
         # the paper's production rmsprop(momentum .99999) diverges below
-        # ~100M samples (measured round 1) — adam + cosine decay for the
-        # replica-scale convergence study (VERDICT round-3 item 1).
-        # NOTE: the L geometry (8L d=384) is unstable at the S default
-        # 1e-3 at full scale (grad-norm spikes, AUC stuck at chance —
-        # measured round 4); pass --lr 5e-4 for L
+        # ~100M samples (measured round 1) — adam at CONSTANT lr.
+        # Round-4 measured finding: full-scale training here is trajectory-
+        # sensitive — constant 1e-3 learned in 3/3 runs (0.627→0.697 by
+        # epoch 3, reproducing round 3), while cosine-decay variants (with
+        # warmup, without warmup, and with clip 1.0) failed in 3/3 runs
+        # (flat at chance, or epoch-1 learning that collapses), despite
+        # per-step LR differing <0.1% in the early epochs. The cosine
+        # schedule remains available (dense_lr_schedule="cosine") but the
+        # quality board uses the reproducibly-stable constant recipe.
+        # The L geometry (8L d=384) additionally needs --lr 5e-4 (grad-norm
+        # spikes to 206 at 1e-3).
         dense_optimizer="adam", dense_lr=dense_lr, dense_momentum=0.9,
-        dense_lr_schedule="cosine",
         sparse_lr=0.05,
     )
     cfg = get_config("ranking_base", **base)
@@ -237,14 +242,11 @@ def run_onetrans(
         import dataclasses as _dc
 
         steps = n_epochs * steps_per_epoch
-        # NO dense-LR warmup: measured (round 4, full-scale S): a 1000-step
-        # warmup drops epoch-1 CTR AUC from 0.627 to 0.522 and the model
-        # stays at chance for 5+ epochs — while the dense net idles at
-        # near-zero LR, the sparse item table keeps training at full
-        # adagrad LR against random-net gradients, burning grad² into its
-        # accumulators (permanently shrinking its effective LR) before any
-        # real signal exists. Cosine DECAY alone (peak from step 0) keeps
-        # round-3's early dynamics and adds late-epoch annealing.
+        # NO dense-LR warmup either (measured: a 1000-step warmup drops
+        # epoch-1 CTR AUC 0.627→0.522 — while the dense net idles at near-
+        # zero LR the sparse tables train at full adagrad LR against
+        # random-net gradients, burning grad² into their accumulators);
+        # see the constant-LR note on `base` above.
         cfg = _dc.replace(cfg, lr_warmup_steps=0)
         mesh = None
         if mesh_devices:
