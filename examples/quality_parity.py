@@ -145,6 +145,7 @@ def run_onetrans(
     baselines: tuple = ("ns_only", "din"),
     mesh_devices: int = 0,
     dense_lr: float = 1e-3,
+    clip_norm: float = 90.0,
 ) -> dict:
     """``mesh_devices`` > 0 trains under a data-parallel mesh of that many
     devices (virtual CPU devices in CI — the multi-chip quality proof;
@@ -212,6 +213,7 @@ def run_onetrans(
         # The L geometry (8L d=384) additionally needs --lr 5e-4 (grad-norm
         # spikes to 206 at 1e-3).
         dense_optimizer="adam", dense_lr=dense_lr, dense_momentum=0.9,
+        gradient_clip_norm=clip_norm,
         sparse_lr=0.05,
     )
     cfg = get_config("ranking_base", **base)
@@ -373,6 +375,10 @@ def main():
                          "mesh of N devices (virtual CPU mesh in CI)")
     ap.add_argument("--lr", type=float, default=1e-3,
                     help="dense (adam) peak LR for the onetrans track")
+    ap.add_argument("--clip", type=float, default=90.0,
+                    help="global-norm gradient clip (paper default 90; the "
+                         "L geometry's learn-then-collapse instability "
+                         "motivates a tighter clip)")
     ap.add_argument("--output", default=None)
     args = ap.parse_args()
 
@@ -387,6 +393,7 @@ def main():
             tuple(b for b in args.baselines.split(",") if b),
             mesh_devices=args.mesh,
             dense_lr=args.lr,
+            clip_norm=args.clip,
         )
     print(json.dumps(report, indent=2, default=float))
     if args.output:
