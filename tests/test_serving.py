@@ -870,3 +870,38 @@ def test_similar_items_single_device(retrieval_setup):
     np.testing.assert_allclose(
         rows, np.asarray(index.item_embeddings)[[3, 17]], atol=1e-6
     )
+
+
+def test_proactive_fold_moves_compaction_off_request_path(ranking_engine):
+    """With fold_headroom set, a near-full extension buffer is folded by
+    maintain() (idle time) so the next request's append never folds inline;
+    scoring stays exact through the proactive fold."""
+    eng = RankingInferenceEngine(
+        ranking_engine.cfg, ranking_engine.params, max_seq_len=8, slack=4,
+        refresh_every_compactions=4,
+    )
+    eng.auto_maintain = False
+    eng.fold_headroom = 2
+    user_ctx, _, _ = _features()
+    candidates = [_features(s)[1] for s in range(2)]
+    eng.update_session("p", {"click_seq": [1, 2]})
+    eng.score_session("p", user_ctx, candidates, new_items={"click_seq": [3, 4]})
+    sess = eng._sessions["p"]
+    assert sess["count"] == 2 and sess["compactions"] == 0
+    before = eng.score_session("p", user_ctx, candidates,
+                               new_items={"click_seq": [5]})
+    # buffer at 3 of 4; headroom 2 ⇒ proactive fold due — via maintain()
+    assert eng._sessions["p"]["count"] == 3
+    assert eng.maintain() == 1
+    sess = eng._sessions["p"]
+    assert sess["count"] == 0 and sess["compactions"] == 1
+    # the fold is an identity on scoring: same scores before/after
+    after = eng.score_session("p", user_ctx, candidates)
+    for a, b in zip(before, after):
+        for t in eng.cfg.tasks:
+            assert abs(a[t] - b[t]) < 1e-6, (t, a[t], b[t])
+    # next append has a fresh buffer — no inline fold fires
+    eng.score_session("p", user_ctx, candidates,
+                      new_items={"click_seq": [6, 7]})
+    assert eng._sessions["p"]["compactions"] == 1
+    assert eng._sessions["p"]["count"] == 2
