@@ -158,17 +158,30 @@ def build_ivf(
 
     assert quantize in (None, "int8"), quantize
     ids_dev = jnp.asarray(bucket_ids)
-    embs = items[jnp.maximum(ids_dev, 0)]  # pad rows read item 0, masked later
     if quantize == "int8":
         from recommend_tpu.ops.topk import quantize_corpus
 
-        c, cap2, d2 = embs.shape
-        q, sc = jax.jit(quantize_corpus)(embs.reshape(c * cap2, d2))
+        # build the int8 bucket matrix in cluster SLABS: the one-shot f32
+        # gather intermediate is [C, cap, D] f32 — 12.8 GB at the 10M-corpus
+        # flagship geometry (2048×12208×128), an HBM OOM on a 16 GB chip.
+        # Slabs bound the transient to ~1 GB; the int8 result accumulates.
+        d = items.shape[1]
+        slab = max(1, int(2**28 // max(cap * d, 1)))  # ~1 GB f32 transient
+        q_parts, s_parts = [], []
+        quant = jax.jit(quantize_corpus)
+        for i in range(0, n_clusters, slab):
+            ids_slab = ids_dev[i : i + slab]
+            e = items[jnp.maximum(ids_slab, 0)]
+            c_, cap2, d2 = e.shape
+            q, sc = quant(e.reshape(c_ * cap2, d2))
+            q_parts.append(q.reshape(c_, cap2, d2))
+            s_parts.append(sc.reshape(c_, cap2))
         return IVFIndex(
             centroids=centroids, bucket_ids=ids_dev,
-            bucket_embs=q.reshape(c, cap2, d2),
-            bucket_scales=sc.reshape(c, cap2),
+            bucket_embs=jnp.concatenate(q_parts),
+            bucket_scales=jnp.concatenate(s_parts),
         )
+    embs = items[jnp.maximum(ids_dev, 0)]  # pad rows read item 0, masked later
     return IVFIndex(centroids=centroids, bucket_ids=ids_dev, bucket_embs=embs)
 
 
