@@ -153,8 +153,8 @@ def phase_flat(corpus: int, out_path: str) -> None:
         json.dump(report, f, indent=2)
 
 
-def phase_ivf(corpus: int, out_path: str, clusters: int = 2048,
-              nprobe: int = 64) -> None:
+def phase_ivf(corpus: int, out_path: str, clusters: int = 4096,
+              nprobe: int = 16) -> None:
     import jax
     import jax.numpy as jnp
 
@@ -181,12 +181,18 @@ def phase_ivf(corpus: int, out_path: str, clusters: int = 2048,
 
     # mean bucket ≈ corpus/clusters; capacity caps the Zipf tail so the
     # [C, cap, D] bucket matrix stays inside HBM (overflow items fall out of
-    # the probe set — counted against recall honestly below)
+    # the probe set — counted against recall honestly below). The probe
+    # gather materializes [Nq, nprobe, cap, D] int8, so at 10M the cluster
+    # geometry must keep nprobe·cap small: 4096 clusters (cap ≈ 6.1k) ×
+    # nprobe 16 probes ≈ 1% of the corpus per query; batch-64 queries are
+    # additionally CHUNKED below. (At this corpus scale the int8 flat scan
+    # is the better serving index on TPU — full-bandwidth streaming beats
+    # gather-heavy probing; this row exists for the IVF parity axis.)
     capacity = int(corpus / clusters * 2.5)
     _log(f"ivf build: {clusters} clusters, capacity {capacity}")
     t0 = time.perf_counter()
     ivf = build_ivf(items, n_clusters=clusters, capacity=capacity,
-                    quantize="int8")
+                    quantize="int8", iters=5)
     jax.block_until_ready(ivf.bucket_embs)
     report["ivf_build_s"] = round(time.perf_counter() - t0, 2)
     _log(f"ivf build took {report['ivf_build_s']}s")
@@ -194,17 +200,27 @@ def phase_ivf(corpus: int, out_path: str, clusters: int = 2048,
     ints64 = jnp.asarray(interests64)
     ints1 = ints64[:1]
     _, ref_ids = topk_retrieval(ints64, items, 100)  # exact reference
-    # ivf_search_interests device-searches then merges on host (not jittable)
-    _, got = ivf_search_interests(ivf, ints64, 100, nprobe=nprobe)
-    report["top100_recall_vs_exact"] = round(
-        _recall(np.asarray(ref_ids), np.asarray(got)), 4
-    )
+    ref_ids = np.asarray(ref_ids)
+    del items
+    gc.collect()
+
+    def chunked_search(ints, chunk=16):
+        outs = []
+        for i in range(0, ints.shape[0], chunk):
+            outs.append(
+                ivf_search_interests(ivf, ints[i : i + chunk], 100,
+                                     nprobe=nprobe)[1]
+            )
+        return np.concatenate(outs)
+
+    got = chunked_search(ints64)
+    report["top100_recall_vs_exact"] = round(_recall(ref_ids, got), 4)
     for tag, ints, b in (("batch1", ints1, 1), ("batch64", ints64, 64)):
-        ivf_search_interests(ivf, ints, 100, nprobe=nprobe)  # compile
+        chunked_search(ints)  # compile
         lats = []
-        for _ in range(20):
+        for _ in range(10):
             t0 = time.perf_counter()
-            ivf_search_interests(ivf, ints, 100, nprobe=nprobe)
+            chunked_search(ints)
             lats.append((time.perf_counter() - t0) * 1000)
         report[f"search_ms_p50_{tag}"] = round(float(np.percentile(lats, 50)), 2)
         if b > 1:
