@@ -12,12 +12,14 @@ dataset configs (`recommend_tpu.data.replica`):
     README.md:135-144 — whose numbers come from an unrunnable script
     evaluated on training data) and the paper's production HR@K
     (translation/complete_translation.md:239-246).
-  - OneTrans industrial replica (ranking): scaled-down (~1000×) version of
-    the paper's setting (29.1B impressions / 27.9M users / 10.2M items,
-    translation:168-175); OneTrans-S-like model vs a sequence-agnostic
-    NS-only baseline (the DCNv2-class axis of Table 2, translation:199-207),
-    CTR/CVR AUC + UAUC on a train-on-past / eval-on-future split, plus the
-    generator's Bayes ceiling (AUC of the noise-free structural logit).
+  - OneTrans industrial replica (ranking): density-matched version of the
+    paper's setting (29.1B impressions / 27.9M users / 10.2M items,
+    translation:168-175); OneTrans-S-like model vs the paper's actual
+    Table-2 comparator class — a sequence-aware DCNv2+DIN baseline
+    (models/din.py; translation:199-207) — plus a sequence-BLIND NS-only
+    anchor, CTR/CVR AUC + UAUC on a train-on-past / eval-on-future split,
+    per-epoch convergence curves, and the generator's oracle anchors
+    (latent-Bayes and observable fixed-form logits).
 
 Usage (real TPU):
   PYTHONPATH=.:/root/.axon_site JAX_PLATFORMS=axon \
