@@ -45,12 +45,18 @@ class RankingTrainer:
         mesh=None,
         model=None,
         total_steps: int = 0,
+        debug_metrics: bool = False,
     ):
         """``model``: any module with RankingModel's apply signature — e.g.
         the DCNv2+DIN baseline (models/din.py). It must mount its feature
         tables under a `tokenizer` submodule for the sparse-update split.
         ``total_steps`` feeds the cosine dense-LR schedule when
-        cfg.dense_lr_schedule == "cosine"."""
+        cfg.dense_lr_schedule == "cosine". ``debug_metrics`` adds training
+        health scalars to each step's metrics (max |task logit|, item-table
+        RMS, dense-param norm) — the instrumentation behind the
+        learn-then-collapse stability study; off by default (the table RMS
+        costs a full table read per step)."""
+        self.debug_metrics = debug_metrics
         self.cfg = cfg
         self.mesh = mesh
         self.model = RankingModel(cfg) if model is None else model
@@ -217,9 +223,17 @@ class RankingTrainer:
                 optax_state, accums = state.opt_state
                 dense_params, tables = split_tables(state.params)
                 dummies = make_dummies(batch)
-                (gdense, gdummies), (metrics, _) = jax.grad(
+                (gdense, gdummies), (metrics, logits) = jax.grad(
                     sparse_loss_fn, argnums=(0, 2), has_aux=True
                 )(dense_params, tables, dummies, batch, dropout_rng)
+                if self.debug_metrics:
+                    for t, l in logits.items():
+                        metrics[f"{t}_logit_max"] = jnp.max(jnp.abs(l))
+                    if "embed_seq_item" in tables:
+                        metrics["item_table_rms"] = jnp.sqrt(
+                            jnp.mean(jnp.square(tables["embed_seq_item"]))
+                        )
+                    metrics["dense_param_norm"] = optax.global_norm(dense_params)
                 updates, optax_state = self.optimizer.update(
                     gdense, optax_state, dense_params
                 )
