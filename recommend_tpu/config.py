@@ -188,7 +188,14 @@ class RankingConfig:
     semantic_features: Tuple[Tuple[str, int], ...] = ()
 
     # dual optimizer (config.py:39-52; paper §4.1.4 translation:190)
-    dense_optimizer: str = "rmsprop"
+    dense_optimizer: str = "rmsprop"  # rmsprop | adam | adamw
+    # decoupled weight decay for dense_optimizer="adamw". The measured
+    # round-4 finding behind it: with RMSNorm trunks the dense function is
+    # weight-scale-invariant, and adam without decay grows the dense norm
+    # until training hits a learn-then-collapse instability (norm growth
+    # accelerates 3× into the collapse window while logits compress —
+    # instrumented via RankingTrainer(debug_metrics=True))
+    dense_weight_decay: float = 1e-4
     dense_lr: float = 0.005
     # "constant" (reference parity) or "cosine" (warmup→cosine decay over the
     # trainer's total_steps — the convergence-study schedule; requires the

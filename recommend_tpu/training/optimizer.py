@@ -102,6 +102,7 @@ def make_ranking_optimizer(
     dense = {
         "rmsprop": optax.rmsprop(lr, momentum=cfg.dense_momentum),
         "adam": optax.adam(lr),
+        "adamw": optax.adamw(lr, weight_decay=cfg.dense_weight_decay),
     }[cfg.dense_optimizer]
     if cfg.use_sparse_embedding_updates:
         sparse = optax.set_to_zero()
