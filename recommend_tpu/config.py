@@ -189,12 +189,13 @@ class RankingConfig:
 
     # dual optimizer (config.py:39-52; paper §4.1.4 translation:190)
     dense_optimizer: str = "rmsprop"  # rmsprop | adam | adamw
-    # decoupled weight decay for dense_optimizer="adamw". The measured
-    # round-4 finding behind it: with RMSNorm trunks the dense function is
-    # weight-scale-invariant, and adam without decay grows the dense norm
-    # until training hits a learn-then-collapse instability (norm growth
-    # accelerates 3× into the collapse window while logits compress —
-    # instrumented via RankingTrainer(debug_metrics=True))
+    # decoupled weight decay for dense_optimizer="adamw" (size it against
+    # dense_lr: effective per-step decay is lr·wd). Motivated by the
+    # round-4 instability study — dense param norm growth accelerates 3×
+    # into the L geometry's learn-then-collapse window while logits
+    # compress (instrumented via RankingTrainer(debug_metrics=True)) — but
+    # NOT yet a demonstrated fix: full-scale trajectories are bistable and
+    # a wd-perturbed run landed in the stall basin (BASELINE.md L row).
     dense_weight_decay: float = 1e-4
     dense_lr: float = 0.005
     # "constant" (reference parity) or "cosine" (warmup→cosine decay over the
