@@ -148,6 +148,7 @@ def run_onetrans(
     mesh_devices: int = 0,
     dense_lr: float = 1e-3,
     clip_norm: float = 90.0,
+    sparse_lr: float = 0.02,
 ) -> dict:
     """``mesh_devices`` > 0 trains under a data-parallel mesh of that many
     devices (virtual CPU devices in CI — the multi-chip quality proof;
@@ -216,7 +217,12 @@ def run_onetrans(
         # spikes to 206 at 1e-3).
         dense_optimizer="adam", dense_lr=dense_lr, dense_momentum=0.9,
         gradient_clip_norm=clip_norm,
-        sparse_lr=0.05,
+        # sparse_lr 0.02 (not the paper's 0.1 or round-3's 0.05): the
+        # round-4 basin probe — adagrad's first steps at 0.05 lock in bad
+        # item-embedding geometry on some seeds (seed-1 stalled at chance
+        # for 10 epochs at 0.05; at 0.02 the SAME seed converges faster and
+        # higher than seed-0-at-0.05 ever did: 0.716@ep1 vs 0.627)
+        sparse_lr=sparse_lr,
     )
     cfg = get_config("ranking_base", **base)
     _log(f"onetrans-replica: generating ({num_users}u/{num_items}i/"
@@ -381,6 +387,9 @@ def main():
                     help="global-norm gradient clip (paper default 90; the "
                          "L geometry's learn-then-collapse instability "
                          "motivates a tighter clip)")
+    ap.add_argument("--sparse-lr", type=float, default=0.02,
+                    help="touched-row adagrad LR for the embedding tables "
+                         "(0.05 is bistable across seeds — see run_onetrans)")
     ap.add_argument("--output", default=None)
     args = ap.parse_args()
 
@@ -396,6 +405,7 @@ def main():
             mesh_devices=args.mesh,
             dense_lr=args.lr,
             clip_norm=args.clip,
+            sparse_lr=args.sparse_lr,
         )
     print(json.dumps(report, indent=2, default=float))
     if args.output:
