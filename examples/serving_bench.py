@@ -168,10 +168,13 @@ def bench_ranking(n_requests: int, n_candidates: int) -> dict:
     d = np.asarray(lat_sess) - np.asarray(lat_req)
     for p in (1, 5, 25, 50, 75, 95, 99):
         session[f"paired_delta_ms_p{p:02d}"] = float(np.percentile(d, p))
-    wins = float(np.mean(d < 0))
+    # standard sign test drops exact ties (d == 0) — counting them as losses
+    # biases z conservative when timer resolution produces ties
+    n_eff = int(np.count_nonzero(d))
+    wins = float((d < 0).sum() / max(n_eff, 1))
     session["session_win_fraction"] = wins
-    n = len(d)
-    session["sign_test_z"] = float((wins - 0.5) * 2 * np.sqrt(n))
+    session["sign_test_n_effective"] = n_eff
+    session["sign_test_z"] = float((wins - 0.5) * 2 * np.sqrt(max(n_eff, 1)))
 
     return {
         "config": f"OneTrans-S-like (6L, d=256), {n_candidates} candidates/"

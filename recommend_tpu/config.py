@@ -206,6 +206,16 @@ class RankingConfig:
     dense_momentum: float = 0.99999
     sparse_optimizer: str = "adagrad"
     sparse_lr: float = 0.1
+    # sparse-LR ramp: linear from sparse_lr_init → sparse_lr over
+    # sparse_lr_warmup_steps steps (0 disables; init > final gives a
+    # warm-down). Motivation (round-4/5 stability study): adagrad's FIRST
+    # touched-row steps fire against random-dense-net gradients and burn
+    # their g² into the accumulators, locking item-embedding geometry —
+    # the mechanism behind the (seed, config) convergence-basin lottery.
+    # Ramping the sparse LR while the dense net finds its geometry is the
+    # measured fix (quality_r05 seed sweep).
+    sparse_lr_init: float = 0.0
+    sparse_lr_warmup_steps: int = 0
     gradient_clip_norm: float = 90.0
     batch_size: int = 256
 

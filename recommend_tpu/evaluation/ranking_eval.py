@@ -41,12 +41,23 @@ def _best_f1_operating_point(
     """F1-maximizing threshold over quantile-spaced candidate thresholds —
     the calibrated operating point for low-base-rate streams where the fixed
     0.5 threshold is near-degenerate (VERDICT round-3 weak item 7). O(T·1)
-    via a sorted cumulative sweep."""
+    via a sorted cumulative sweep.
+
+    NOTE: the threshold is fit on the SAME stream the f1/precision/recall
+    are reported on (an in-sample operating point — optimistic relative to
+    a threshold carried over from a held-out calibration slice). The AUC
+    family is the threshold-free headline; this block characterizes the
+    achievable operating point on this stream."""
     order = np.argsort(-probs, kind="stable")
     y = labels[order].astype(np.float64)
     tp_at = np.cumsum(y)  # tp if we predict positive for top i+1
     n_pos = float(y.sum())
-    if n_pos == 0 or n_pos == len(y):
+    if n_pos == len(y) and len(y) > 0:
+        # all-positive stream: ANY threshold below min(probs) classifies
+        # everything positive with precision = recall = 1
+        return {"threshold_best": float(probs.min()), "f1_best": 1.0,
+                "precision_best": 1.0, "recall_best": 1.0}
+    if n_pos == 0:
         return {"threshold_best": 0.5, "f1_best": 0.0,
                 "precision_best": 0.0, "recall_best": 0.0}
     idx = np.unique(

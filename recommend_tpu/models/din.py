@@ -131,12 +131,18 @@ class DINRankingModel(nn.Module):
         cfg = self.config
         cdt = jnp.dtype(cfg.active_compute_dtype)
         ns = self.tokenizer.ns_concat(non_seq, dummies)  # [B, F·fe]
-        item_group = tuple(f for f in cfg.item_features if f in non_seq)
-        query = self.query_proj(
-            self.tokenizer.ns_concat(non_seq, dummies=None, features=item_group)
-        )  # [B, d] — query reuses the item-feature embeds; their gradient
-        # already flows through the `ns` concat's dummy path, so the query
-        # side reads the tables directly (sparse updates stay single-source)
+        # candidate-item query: slice the item-group columns out of the SAME
+        # dummy-added concat. A second dummies=None lookup would read the
+        # stop-gradient'd tables directly and silently drop the query-path
+        # cotangent from the sparse update (the ns-concat dummies capture
+        # only the NS usage's gradient) — biasing the baseline's training.
+        fe = cfg.feature_embed_dim
+        cols = [
+            ns[:, i * fe : (i + 1) * fe]
+            for i, f in enumerate(cfg.non_seq_features)
+            if f in cfg.item_features and f in non_seq
+        ]
+        query = self.query_proj(jnp.concatenate(cols, axis=-1))  # [B, d]
         pooled = []
         for sf in cfg.sequence_features:
             if sf not in sequences:

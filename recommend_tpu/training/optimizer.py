@@ -75,6 +75,27 @@ def _is_sparse_path(path: tuple) -> bool:
     return any(k == "embedding" for k in keys)
 
 
+def sparse_lr_schedule(cfg: RankingConfig):
+    """Per-step sparse (embedding-table) LR: linear ramp from
+    ``sparse_lr_init`` → ``sparse_lr`` over ``sparse_lr_warmup_steps``
+    steps, constant after (and constant ``sparse_lr`` when the ramp is
+    disabled). Returns the scalar when no ramp is configured so existing
+    constant-LR call sites stay schedule-free; otherwise an optax-style
+    ``step -> lr`` callable also usable on traced steps inside jit (the
+    trainer's touched-row sparse path evaluates it per step)."""
+    n = cfg.sparse_lr_warmup_steps
+    if n <= 0:
+        return cfg.sparse_lr
+
+    def schedule(step):
+        import jax.numpy as jnp
+
+        frac = jnp.minimum(jnp.asarray(step, jnp.float32) / n, 1.0)
+        return cfg.sparse_lr_init + (cfg.sparse_lr - cfg.sparse_lr_init) * frac
+
+    return schedule
+
+
 def make_ranking_optimizer(
     cfg: RankingConfig, total_steps: int = 0
 ) -> optax.GradientTransformation:
@@ -102,14 +123,21 @@ def make_ranking_optimizer(
     dense = {
         "rmsprop": optax.rmsprop(lr, momentum=cfg.dense_momentum),
         "adam": optax.adam(lr),
-        "adamw": optax.adamw(lr, weight_decay=cfg.dense_weight_decay),
+        # decay only matrix-shaped params (the RMSNorm-trunk weights whose
+        # unregularized norm growth drives the learn-then-collapse
+        # instability); biases and norm scales are excluded — decaying a
+        # RMSNorm gain fights its scale-invariance for no regularization
+        "adamw": optax.adamw(
+            lr, weight_decay=cfg.dense_weight_decay,
+            mask=lambda p: jax.tree_util.tree_map(lambda x: x.ndim >= 2, p),
+        ),
     }[cfg.dense_optimizer]
     if cfg.use_sparse_embedding_updates:
         sparse = optax.set_to_zero()
     else:
         sparse = {
-            "adagrad": optax.adagrad(cfg.sparse_lr),
-            "sgd": optax.sgd(cfg.sparse_lr),
+            "adagrad": optax.adagrad(sparse_lr_schedule(cfg)),
+            "sgd": optax.sgd(sparse_lr_schedule(cfg)),
         }[cfg.sparse_optimizer]
 
     def label_fn(params) -> Any:

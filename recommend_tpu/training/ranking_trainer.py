@@ -140,9 +140,15 @@ class RankingTrainer:
                 merge_tables(dense_params, tables), dummies, batch, dropout_rng
             )
 
-        def apply_sparse_updates(tables, accums, dummy_grads, batch):
+        from recommend_tpu.training.optimizer import sparse_lr_schedule
+
+        sched = sparse_lr_schedule(cfg)
+        sparse_lr_at = sched if callable(sched) else (lambda step: sched)
+
+        def apply_sparse_updates(tables, accums, dummy_grads, batch, lr):
             """Touched-row adagrad on every embedding table; returns updated
-            (tables, accums)."""
+            (tables, accums). ``lr`` may be a traced per-step scalar (the
+            sparse-LR ramp, config.sparse_lr_warmup_steps)."""
             from recommend_tpu.ops.sparse_embed import (
                 sparse_rowwise_update_table,
                 sparse_update_table,
@@ -202,7 +208,7 @@ class RankingTrainer:
                     )
                 table, accum = update(
                     tables["embed_seq_item"],
-                    accums["embed_seq_item"], ids, g, cfg.sparse_lr,
+                    accums["embed_seq_item"], ids, g, lr,
                 )
                 new_tables["embed_seq_item"] = table
                 new_accums["embed_seq_item"] = accum
@@ -210,7 +216,7 @@ class RankingTrainer:
                 key = f"embed_{f}"
                 table, accum = update(
                     tables[key], accums[key],
-                    batch["non_seq"][f], dummy_grads[f"ns_{f}"], cfg.sparse_lr,
+                    batch["non_seq"][f], dummy_grads[f"ns_{f}"], lr,
                 )
                 new_tables[key] = table
                 new_accums[key] = accum
@@ -239,7 +245,7 @@ class RankingTrainer:
                 )
                 dense_params = optax.apply_updates(dense_params, updates)
                 tables, accums, dropped = apply_sparse_updates(
-                    tables, accums, gdummies, batch
+                    tables, accums, gdummies, batch, sparse_lr_at(state.step)
                 )
                 params = merge_tables(dense_params, tables)
                 metrics["grad_norm"] = optax.global_norm(gdense)
@@ -401,10 +407,19 @@ class RankingTrainer:
         profile_dir: Optional[str] = None,
         profile_start: int = 10,
         profile_num_steps: int = 5,
+        track_best_params: bool = False,
     ) -> TrainState:
         """`profile_dir`: when set, a jax.profiler device trace of steps
         [profile_start, profile_start+profile_num_steps) is written there
-        (TensorBoard Profile tab) — SURVEY.md §5.1."""
+        (TensorBoard Profile tab) — SURVEY.md §5.1.
+
+        ``track_best_params``: keep a device-side copy of the params at the
+        best validation point (primary-task AUC — the reference's own model
+        selection, oneTrans train.py:264-267) in ``self.best_params`` /
+        ``self.best_val_step`` / ``self.best_val_metrics``. This is the
+        honest non-oracle checkpoint-selection rule the quality board
+        applies identically to every model (VERDICT round-4 item 3); costs
+        one extra params-sized device buffer."""
         from recommend_tpu.utils.profiling import StepProfiler
 
         rng = jax.random.key(seed)
@@ -413,6 +428,9 @@ class RankingTrainer:
         start_step = int(state.step)
         prof = StepProfiler(profile_dir, start_step + profile_start, profile_num_steps)
         best_val = -float("inf")
+        self.best_params = None
+        self.best_val_step = None
+        self.best_val_metrics = None
         bad_evals = 0
         t0 = time.time()
         batch = first
@@ -436,6 +454,15 @@ class RankingTrainer:
                 if primary > best_val:
                     best_val = primary
                     bad_evals = 0
+                    if track_best_params:
+                        # real copies: the train step donates its state, so
+                        # aliasing state.params here would hand the best
+                        # snapshot's buffers to the next step's donation
+                        self.best_params = jax.tree_util.tree_map(
+                            jnp.copy, state.params
+                        )
+                        self.best_val_step = i + 1
+                        self.best_val_metrics = dict(vm)
                     if self.ckpt is not None:
                         self.ckpt.save(
                             i + 1, state.params, state.opt_state,

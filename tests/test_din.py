@@ -148,3 +148,67 @@ def test_cosine_dense_lr_schedule():
     u0, st = opt.update(g, st, params)
     u1, st = opt.update(g, st, params)
     assert float(jnp.abs(u0["dense"]).max()) < float(jnp.abs(u1["dense"]).max())
+
+
+def test_din_query_gradient_reaches_sparse_dummies(din_setup):
+    """The candidate-item query must read the dummy-added embeddings: the
+    item-feature tables' TOTAL gradient under the dense path must equal the
+    scattered dummy gradients of the sparse path. A dummies=None query
+    lookup reads the stop-gradient'd tables and silently drops the
+    query-path term from the sparse update, biasing the baseline's
+    training (advisor round-4 medium finding)."""
+    from recommend_tpu.models.losses import multi_task_bce_loss
+
+    cfg, tr, _ = din_setup
+    b = _first_batch(tr, cfg, bs=16)
+    model = DINRankingModel(cfg)
+    params = jax.jit(model.init)(
+        jax.random.key(0), b["non_seq"], b["sequences"], b["seq_valid"]
+    )
+
+    def dense_loss(p):
+        logits = model.apply(p, b["non_seq"], b["sequences"], b["seq_valid"])
+        return multi_task_bce_loss(logits, b["labels"])[0]
+
+    g_tok = jax.grad(dense_loss)(params)["params"]["tokenizer"]
+
+    dummies = {
+        f"ns_{f}": jnp.zeros(
+            np.asarray(b["non_seq"][f]).shape + (cfg.feature_embed_dim,),
+            jnp.float32,
+        )
+        for f in cfg.non_seq_features
+    }
+    dummies.update({
+        f"seq_{sf}": jnp.zeros(
+            np.asarray(b["sequences"][sf]).shape + (cfg.seq_item_feature_dim,),
+            jnp.float32,
+        )
+        for sf in cfg.sequence_features
+    })
+
+    def sparse_loss(d):
+        logits = model.apply(
+            params, b["non_seq"], b["sequences"], b["seq_valid"], dummies=d
+        )
+        return multi_task_bce_loss(logits, b["labels"])[0]
+
+    g_dummy = jax.grad(sparse_loss)(dummies)
+    # every NS table: scatter the per-lookup dummy grads into table shape
+    # and compare with the dense-table cotangent (item_id is the one the
+    # query path feeds — the regression axis)
+    for f in cfg.non_seq_features:
+        table_g = np.asarray(g_tok[f"embed_{f}"]["embedding"])
+        scat = np.zeros_like(table_g)
+        np.add.at(scat, np.asarray(b["non_seq"][f]),
+                  np.asarray(g_dummy[f"ns_{f}"]))
+        np.testing.assert_allclose(scat, table_g, atol=2e-5, err_msg=f)
+    # shared sequence item table
+    table_g = np.asarray(g_tok["embed_seq_item"]["embedding"])
+    scat = np.zeros_like(table_g)
+    for sf in cfg.sequence_features:
+        np.add.at(
+            scat, np.asarray(b["sequences"][sf]).reshape(-1),
+            np.asarray(g_dummy[f"seq_{sf}"]).reshape(-1, cfg.seq_item_feature_dim),
+        )
+    np.testing.assert_allclose(scat, table_g, atol=2e-5)

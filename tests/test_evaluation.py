@@ -149,3 +149,15 @@ def test_retrieval_classification_auc(retrieval_eval_setup):
     m = ev.evaluate_classification(data, batches, num_negatives=50)
     assert 0.0 <= m["auc"] <= 1.0
     assert 0.0 <= m["average_precision"] <= 1.0
+
+
+def test_best_f1_all_positive_stream():
+    """Degenerate all-positive stream: any threshold ≤ min(probs) gives
+    precision = recall = f1 = 1 (advisor round-4 low finding)."""
+    from recommend_tpu.evaluation.ranking_eval import _best_f1_operating_point
+
+    probs = np.array([0.2, 0.9, 0.55, 0.4])
+    out = _best_f1_operating_point(probs, np.ones(4))
+    assert out["f1_best"] == 1.0
+    assert out["precision_best"] == 1.0 and out["recall_best"] == 1.0
+    assert out["threshold_best"] <= probs.min()

@@ -84,7 +84,11 @@ def main() -> None:
 
     flops = ranking_model_flops(cfg, s_len, training=True) * args.batch
     mfu_inline = flops / (total_ms / 1e3) / V5E_PEAK
-    mfu_ps = flops / ((total_ms - embed_ms) / 1e3) / V5E_PEAK
+    # guard: frame mis-attribution could put the whole profile in the
+    # sparse_embed slice — an empty denominator is a broken profile, not an
+    # infinite MFU
+    ps_denom_ms = max(total_ms - embed_ms, 1e-6)
+    mfu_ps = flops / (ps_denom_ms / 1e3) / V5E_PEAK
     out = {
         "geometry": args.geometry,
         "s_tokens": s_len,
@@ -95,6 +99,9 @@ def main() -> None:
         "train_flops_per_step": flops,
         "mfu_inline_pct": round(mfu_inline * 100, 1),
         "mfu_parameter_server_view_pct": round(mfu_ps * 100, 1),
+        **({"ps_view_error": "embedding slice >= total device time — frame "
+            "attribution is broken; ps view is meaningless"}
+           if embed_ms >= total_ms else {}),
         "note": "ps view excludes ops/sparse_embed.py device time (forward "
                 "table gathers + touched-row updates) from the denominator "
                 "— the paper's parameter-server accounting "
