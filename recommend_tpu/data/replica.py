@@ -240,15 +240,20 @@ def make_onetrans_replica(
     latent_dim: int = 16,
     noise_sigma: float = 0.6,
     eval_frac: float = 0.1,
+    val_frac: float = 0.0,
     seed: int = 0,
     signal_weights: Tuple[float, float, float, float, float] = (
         4.5, 5.5, -0.8, 0.5, -3.6
     ),
+    signal_weights_v2: Tuple[float, float] = (0.0, 0.0),
+    order_k_recent: int = 8,
+    order_k_early: int = 16,
+    cross_decay: float = 0.75,
     affinity_sharpness: float = 8.0,
     stream_len_loc: float = 4.0,
     stream_len_scale: float = 0.7,
     debug_out: Optional[dict] = None,
-) -> Tuple[SyntheticRankingData, SyntheticRankingData]:
+) -> Tuple[SyntheticRankingData, ...]:
     """Scaled-down replica of the OneTrans industrial setting
     (translation:168-175: 29.1B impressions / 27.9M users / 10.2M items —
     defaults here are ≈1000× smaller; state the scale in any report).
@@ -273,9 +278,34 @@ def make_onetrans_replica(
         different weights (realized CVR|click ≈ 36%, ≈6% of impressions).
 
     Split: the LAST ``eval_frac`` of every user's impressions (stream order)
-    form the eval set — train on the past, evaluate on the future.
+    form the eval set — train on the past, evaluate on the future. With
+    ``val_frac`` > 0 the slice just BEFORE the eval tail becomes a held-out
+    validation split (time-ordered: train < val < eval) — the
+    checkpoint-selection split of the round-5 quality protocol, disjoint
+    from the reported test set.
 
-    Returns (train, eval) SyntheticRankingData.
+    Replica v2 (``signal_weights_v2`` = (w_order, w_cross) ≠ 0) plants the
+    two signal axes the OneTrans paper's Table 3 attributes to the
+    transformer (translation:218-227) — signal a per-sequence
+    attention-pooled baseline (DIN-class: no positional information, each
+    sequence pooled independently) cannot fully extract:
+      - ORDER: w_order · (candidate · drift), drift = normalized
+        (mean latent of the last ``order_k_recent`` clicks − mean latent of
+        the ``order_k_early`` clicks before them) — the *direction* the
+        user's interest is moving. Reading it requires distinguishing
+        recent from early positions inside the click window; an
+        order-blind pooling sees only the undifferentiated mixture.
+      - CROSS-BEHAVIOR recency gate: w_cross · Σ_j decay^age_j ·
+        (cart_item_j · candidate) / Σ_j decay^age_j over the cart window
+        (age = cart-sequence steps from the most recent event). Candidate
+        affinity to *recently* carted items — extracting it requires
+        position-aware weighting WITHIN the cart sequence joined against
+        the candidate; a positionless candidate-keyed pool weights all
+        cart events alike.
+    Both terms are functions of the OBSERVED history, so they flow into
+    the observable oracle ceiling as well.
+
+    Returns (train, eval) — or (train, val, eval) when ``val_frac`` > 0.
     """
     rng = np.random.default_rng(seed)
     n_cat = cfg.vocab_size("category")
@@ -346,8 +376,12 @@ def make_onetrans_replica(
     y_ctr = np.zeros(total, np.float32)
     y_cvr = np.zeros(total, np.float32)
     is_eval = np.zeros(total, bool)
-    dbg_logit = np.zeros(total, np.float32) if debug_out is not None else None
-    dbg_obs = np.zeros(total, np.float32) if debug_out is not None else None
+    is_val = np.zeros(total, bool)
+    dbg = debug_out is not None
+    dbg_logit = np.zeros(total, np.float32) if dbg else None
+    dbg_obs = np.zeros(total, np.float32) if dbg else None
+    dbg_cvr = np.zeros(total, np.float32) if dbg else None
+    dbg_cvr_obs = np.zeros(total, np.float32) if dbg else None
 
     # logit weights: calibrated so the Bayes ceiling (AUC of the noise-free
     # structural logit against the sampled labels) sits at ≈0.82 — just above
@@ -356,7 +390,11 @@ def make_onetrans_replica(
     # approach-but-not-exceed the published scale
     w_aff, w_match, w_price, w_hour, alpha = signal_weights
     cvr_w_aff, cvr_w_match, cvr_alpha = 0.7 * w_aff, 0.65 * w_match, -2.8
+    w_order, w_cross = signal_weights_v2
+    # cart intent is strongly conversion-predictive; drift direction less so
+    cvr_w_order, cvr_w_cross = 0.5 * w_order, 0.9 * w_cross
     match_k = 8  # recent clicks feeding the match term
+    _sig = lambda x: 1.0 / (1.0 + np.exp(-x))
 
     row = 0
     for u in range(num_users):
@@ -416,20 +454,59 @@ def make_onetrans_replica(
         denom = np.maximum(rec_valid.sum(1, keepdims=True), 1)
         match = np.einsum("md,md->m", rec_lat.sum(1) / denom, v_lat[cand])
         affinity = np.einsum("md,md->m", u_t[pos], v_lat[cand])
+
+        # --- v2 ORDER term: interest-drift direction over the click window
+        # (recent mean − early mean, normalized) · candidate. Zero until the
+        # user has a full early+recent window. No rng draws: v1 streams stay
+        # bit-identical when the v2 weights are 0.
+        if w_order:
+            kk = order_k_recent + order_k_early
+            pad_lat = np.concatenate([np.zeros((kk, latent_dim)), v_lat[stream]])
+            owin = np.lib.stride_tricks.sliding_window_view(
+                pad_lat, kk, axis=0
+            )[pos]  # [m, latent_dim, kk]; slot k = click (pos − kk + k)
+            drift = (owin[..., order_k_early:].mean(-1)
+                     - owin[..., :order_k_early].mean(-1))
+            drift /= np.linalg.norm(drift, axis=1, keepdims=True) + 1e-9
+            order_t = np.einsum("md,md->m", drift, v_lat[cand]) * (pos >= kk)
+        else:
+            order_t = 0.0
+        # --- v2 CROSS-BEHAVIOR term: recency-decayed candidate affinity to
+        # the cart window (exactly the window the model's cart_seq shows)
+        if w_cross:
+            keep_c = np.nonzero(in_cart)[0]
+            cart_lat = v_lat[stream[keep_c]]
+            pad_c = np.concatenate([np.zeros((cart_len, latent_dim)), cart_lat])
+            csub = np.searchsorted(keep_c, pos)  # cart events strictly before t
+            cwin = np.lib.stride_tricks.sliding_window_view(
+                pad_c, cart_len, axis=0
+            )[csub]  # [m, latent_dim, cart_len]; last slot = most recent
+            n_c = np.minimum(csub, cart_len)
+            ages = np.arange(cart_len - 1, -1, -1, dtype=np.float64)
+            wv = (cross_decay ** ages)[None, :] * (
+                np.arange(cart_len)[None, :] >= (cart_len - n_c[:, None])
+            )
+            sims = np.einsum("mdk,md->mk", cwin, v_lat[cand])
+            cross_t = (sims * wv).sum(1) / np.maximum(wv.sum(1), 1e-9)
+        else:
+            cross_t = 0.0
+
         hour = rng.integers(0, cfg.vocab_size("hour"), m)
         price_n = item_price[cand] / (n_price - 1) - 0.5
         hour_n = hour / (cfg.vocab_size("hour") - 1) - 0.5
-        logit = (
+        struct = (
             alpha + w_aff * affinity + w_match * match
+            + w_order * order_t + w_cross * cross_t
             + w_price * price_n + w_hour * hour_n
-            + rng.normal(0, noise_sigma, m)
         )
-        ctr = (rng.random(m) < 1.0 / (1.0 + np.exp(-logit))).astype(np.float32)
-        cvr_logit = (
+        logit = struct + rng.normal(0, noise_sigma, m)
+        ctr = (rng.random(m) < _sig(logit)).astype(np.float32)
+        cvr_struct = (
             cvr_alpha + cvr_w_aff * affinity + cvr_w_match * match
-            + rng.normal(0, noise_sigma, m)
+            + cvr_w_order * order_t + cvr_w_cross * cross_t
         )
-        cvr = ctr * (rng.random(m) < 1.0 / (1.0 + np.exp(-cvr_logit)))
+        cvr_logit = cvr_struct + rng.normal(0, noise_sigma, m)
+        cvr = ctr * (rng.random(m) < _sig(cvr_logit))
 
         sl = slice(row, row + m)
         ns_cols["user_id"][sl] = u
@@ -445,27 +522,41 @@ def make_onetrans_replica(
         ns_cols["device"][sl] = rng.integers(0, cfg.vocab_size("device"), m)
         y_ctr[sl] = ctr
         y_cvr[sl] = cvr.astype(np.float32)
-        if dbg_logit is not None:
+        if dbg:
             # noise-free structural logit — its AUC against the sampled
             # labels is the LATENT Bayes ceiling (uses the true user latent,
-            # which no model observes)
-            dbg_logit[sl] = (
-                alpha + w_aff * affinity + w_match * match
-                + w_price * price_n + w_hour * hour_n
-            )
+            # which no model observes). The v2 order/cross terms are part of
+            # the structure, so they appear here too.
+            dbg_logit[sl] = struct
             # observable oracle: the same logit with u(t) replaced by the
             # mean latent of the clicks so far — the best estimate of the
             # drifting interest recoverable from the OBSERVED history. Its
             # AUC is the ceiling for any model that sees only ids/features.
+            # The match/order/cross terms are history-derived and carry over
+            # unchanged (they are already observable).
             cums = np.cumsum(v_lat[stream], axis=0)
             hist_mean = cums[pos - 1] / pos[:, None]
             hist_mean /= np.linalg.norm(hist_mean, axis=1, keepdims=True) + 1e-9
             obs_aff = np.einsum("md,md->m", hist_mean, v_lat[cand])
-            dbg_obs[sl] = (
+            obs_struct = (
                 alpha + w_aff * obs_aff + w_match * match
+                + w_order * order_t + w_cross * cross_t
                 + w_price * price_n + w_hour * hour_n
             )
+            dbg_obs[sl] = obs_struct
+            # CVR oracles (VERDICT round-4 item 4): the Bayes-optimal score
+            # for the UNCONDITIONAL cvr label (positive only when clicked
+            # AND converted) is P(click)·P(convert|click)
+            dbg_cvr[sl] = _sig(struct) * _sig(cvr_struct)
+            cvr_obs_struct = (
+                cvr_alpha + cvr_w_aff * obs_aff + cvr_w_match * match
+                + cvr_w_order * order_t + cvr_w_cross * cross_t
+            )
+            dbg_cvr_obs[sl] = _sig(obs_struct) * _sig(cvr_obs_struct)
         is_eval[row + m - n_eval : row + m] = True
+        if val_frac > 0:
+            n_val = min(int(round(m * val_frac)), m - n_eval)
+            is_val[row + m - n_eval - n_val : row + m - n_eval] = True
         row += m
 
     labels = {}
@@ -476,8 +567,12 @@ def make_onetrans_replica(
     if debug_out is not None:
         debug_out["bayes_logit"] = dbg_logit
         debug_out["observable_logit"] = dbg_obs
+        debug_out["bayes_cvr_score"] = dbg_cvr
+        debug_out["observable_cvr_score"] = dbg_cvr_obs
         debug_out["is_eval"] = is_eval
+        debug_out["is_val"] = is_val
         debug_out["y_ctr"] = y_ctr
+        debug_out["y_cvr"] = y_cvr
 
     def subset(mask: np.ndarray) -> SyntheticRankingData:
         return SyntheticRankingData(
@@ -487,4 +582,6 @@ def make_onetrans_replica(
             labels={t: a[mask] for t, a in labels.items()},
         )
 
+    if val_frac > 0:
+        return subset(~is_eval & ~is_val), subset(is_val), subset(is_eval)
     return subset(~is_eval), subset(is_eval)

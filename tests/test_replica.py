@@ -234,3 +234,52 @@ def test_ranking_model_runs_on_replica_batch(onetrans_small):
     for t in cfg.tasks:
         assert out[t].shape == (4,)
         assert bool(jnp.isfinite(out[t]).all())
+
+
+def test_onetrans_replica_v2_and_val_split():
+    """Replica v2 (order + cross-behavior terms) and the round-5 protocol
+    surface: 3-way time-ordered split, CVR oracle scores, v1 bit-compat
+    (zero v2 weights add exact-0 terms and draw no extra rng samples)."""
+    import numpy as np
+
+    from recommend_tpu.config import get_config
+    from recommend_tpu.data.replica import make_onetrans_replica
+    from recommend_tpu.training.metrics import exact_auc
+
+    cfg = get_config(
+        "ranking_small",
+        feature_vocab_sizes=(
+            ("user_id", 300), ("age_bucket", 16), ("gender", 4), ("city", 32),
+            ("item_id", 500), ("category", 200), ("brand", 500),
+            ("price_bucket", 16), ("hour", 24), ("weekday", 7), ("device", 8),
+        ),
+    )
+    kw = dict(num_users=120, num_items=300, num_impressions=30_000, seed=3)
+    dbg1 = {}
+    tr1, ev1 = make_onetrans_replica(cfg, debug_out=dbg1, **kw)
+    dbg2 = {}
+    tr2, va2, ev2 = make_onetrans_replica(
+        cfg, debug_out=dbg2, val_frac=0.05,
+        signal_weights_v2=(2.2, 2.8),
+        signal_weights=(3.5, 2.0, -0.8, 0.5, -3.3), **kw
+    )
+    # 3-way split partitions the impressions; val sits between train and test
+    total = tr2.num_samples + va2.num_samples + ev2.num_samples
+    assert total == tr1.num_samples + ev1.num_samples
+    assert va2.num_samples > 0
+    assert not np.any(dbg2["is_val"] & dbg2["is_eval"])
+    # CVR oracles exist and rank CVR labels above chance, and at/above the
+    # model-reachable bound implied by the CTR oracle structure
+    m = dbg2["is_eval"]
+    assert exact_auc(dbg2["bayes_cvr_score"][m], dbg2["y_cvr"][m]) > 0.75
+    assert exact_auc(dbg2["observable_cvr_score"][m], dbg2["y_cvr"][m]) > 0.7
+    # v2 planted MORE observable signal than v1's weights alone would leave:
+    # the order/cross terms appear in the observable oracle
+    obs2 = exact_auc(dbg2["observable_logit"][m], dbg2["y_ctr"][m])
+    assert obs2 > 0.7
+    # v1 path unchanged: same labels with default weights regardless of the
+    # new code paths (order/cross terms add exact zeros, no rng draws)
+    dbg1b = {}
+    tr1b, _ = make_onetrans_replica(cfg, debug_out=dbg1b, **kw)
+    np.testing.assert_array_equal(tr1.labels["ctr"], tr1b.labels["ctr"])
+    np.testing.assert_array_equal(dbg1["bayes_logit"], dbg1b["bayes_logit"])
