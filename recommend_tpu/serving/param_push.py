@@ -1,0 +1,209 @@
+"""Minute-level incremental parameter push: dense snapshot + touched-row
+sparse deltas.
+
+The reference's production system ships ONLINE parameter updates to serving
+on a minute cadence (kuaiformer translation/complete_translation.md:210-214).
+A full flagship checkpoint is ~4.8 GB (10M-row item table) — measured at
+~244 s through this environment's device↔host link, which cannot feed a
+minute-level loop. But a training minute only *changes* what it touches:
+
+  - the dense trunk (attention/FFN/heads/norms) — tens of MB, push whole;
+  - the embedding tables — multi-GB, but adagrad's touched-row sparse path
+    (ops/sparse_embed) updates ONLY the rows whose ids appeared in a batch.
+
+So a push is exact as a delta: track the touched ids host-side (free — the
+ids are in the numpy batches before device put), gather just those rows on
+device, and ship {dense snapshot, per-table (ids, rows)}. A serving replica
+that started from the same base checkpoint applies the delta and is
+bit-identical to the trainer's params. MB-scale per minute instead of GB.
+
+Flow:
+
+    tracker = PushTracker(cfg)
+    trainer.train(tracker.wrap(batches), ...)     # observe ids, zero cost
+    ...
+    push = build_push(state.params, tracker.snapshot(), step=int(state.step))
+    save_push(push, "/dumps/push_000120.npz")     # or hand it over in-proc
+    # serving side:
+    engine.apply_push(load_push(path))            # scatter + hot reload
+"""
+
+from __future__ import annotations
+
+import io
+import os
+from typing import Any, Dict, Iterable, Iterator, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from recommend_tpu.config import RankingConfig
+
+# param paths of the sparse tables (RankingTrainer.split_tables):
+#   params["params"]["tokenizer"][<table_key>]["embedding"]
+ITEM_TABLE = "embed_seq_item"
+
+
+def table_keys(cfg: RankingConfig) -> tuple:
+    return tuple([f"embed_{f}" for f in cfg.non_seq_features] + [ITEM_TABLE])
+
+
+def _split(params):
+    """(dense_tree_without_tables, {table_key: [V, D] array}) — same layout
+    as RankingTrainer.split_tables, kept here dependency-free."""
+    inner = dict(params["params"])
+    tok = dict(inner.get("tokenizer", {}))
+    tables = {
+        k: v["embedding"]
+        for k, v in tok.items()
+        if k.startswith("embed_") and set(v) == {"embedding"}
+    }
+    for k in tables:
+        tok.pop(k)
+    inner = {**inner, "tokenizer": tok}
+    return {**params, "params": inner}, tables
+
+
+def _merge(dense, tables):
+    inner = dict(dense["params"])
+    tok = dict(inner.get("tokenizer", {}))
+    for k, t in tables.items():
+        tok[k] = {"embedding": t}
+    inner = {**inner, "tokenizer": tok}
+    return {**dense, "params": inner}
+
+
+class PushTracker:
+    """Host-side touched-id tracking. ``wrap`` an already-batched iterator —
+    marking is numpy indexing on arrays the pipeline produced anyway, so the
+    training loop pays no device work and no extra host copies."""
+
+    def __init__(self, cfg: RankingConfig):
+        self.cfg = cfg
+        self._masks: Dict[str, np.ndarray] = {
+            f"embed_{f}": np.zeros(cfg.vocab_size(f) + 1, bool)
+            for f in cfg.non_seq_features
+        }
+        self._masks[ITEM_TABLE] = np.zeros(cfg.vocab_size("item_id") + 1, bool)
+
+    def observe(self, batch: Dict) -> None:
+        for f in self.cfg.non_seq_features:
+            ids = np.asarray(batch["non_seq"][f]).ravel()
+            self._masks[f"embed_{f}"][ids] = True
+        item = self._masks[ITEM_TABLE]
+        for sf, arr in batch.get("sequences", {}).items():
+            valid = np.asarray(batch["seq_valid"][sf])
+            ids = np.asarray(arr)[valid]
+            if ids.size:
+                item[ids] = True
+
+    def wrap(self, batches: Iterable[Dict]) -> Iterator[Dict]:
+        for b in batches:
+            self.observe(b)
+            yield b
+
+    def snapshot(self, reset: bool = True) -> Dict[str, np.ndarray]:
+        """{table_key: int32 touched ids}; ``reset`` starts the next delta
+        window (call it at the moment the pushed params are read, not
+        before — ids touched between snapshot and param read belong to the
+        NEXT push and are re-marked by later observes anyway)."""
+        out = {
+            k: np.flatnonzero(m).astype(np.int32) for k, m in self._masks.items()
+        }
+        if reset:
+            for m in self._masks.values():
+                m[:] = False
+        return out
+
+
+def build_push(
+    params,
+    touched: Dict[str, np.ndarray],
+    step: int = 0,
+    rows_dtype: Optional[Any] = None,
+) -> Dict:
+    """Assemble the delta: full dense snapshot + (ids, rows) per table.
+    Only the touched rows cross the device→host link (a [n, D] jitted
+    gather per table). ``rows_dtype`` (e.g. jnp.bfloat16) halves the wire
+    bytes at ~3-decimal row precision — exact push when None."""
+    dense, tables = _split(params)
+    gather = jax.jit(lambda t, i: t[i])
+    out_tables = {}
+    for k, ids in touched.items():
+        if k not in tables or ids.size == 0:
+            continue
+        rows = gather(tables[k], jnp.asarray(ids))
+        if rows_dtype is not None:
+            rows = rows.astype(rows_dtype)
+        out_tables[k] = {"ids": np.asarray(ids), "rows": np.asarray(rows)}
+    return {
+        "step": int(step),
+        "dense": jax.tree_util.tree_map(np.asarray, dense),
+        "tables": out_tables,
+    }
+
+
+def apply_push(params, push: Dict):
+    """Serving-side apply: replace the dense tree, scatter the pushed rows
+    into the tables. Exact when the receiver's base params are the
+    checkpoint the delta was accumulated from."""
+    _, tables = _split(params)
+    scatter = jax.jit(
+        lambda t, i, r: t.at[i].set(r.astype(t.dtype)), donate_argnums=(0,)
+    )
+    new_tables = dict(tables)
+    for k, d in push["tables"].items():
+        if k in new_tables:
+            new_tables[k] = scatter(
+                new_tables[k], jnp.asarray(d["ids"]), jnp.asarray(d["rows"])
+            )
+    dense = jax.tree_util.tree_map(jnp.asarray, push["dense"])
+    return _merge(dense, new_tables)
+
+
+def push_nbytes(push: Dict) -> int:
+    total = 0
+    for leaf in jax.tree_util.tree_leaves(push):
+        total += getattr(leaf, "nbytes", 0)
+    return total
+
+
+def save_push(push: Dict, path: str) -> int:
+    """Flat .npz transport encoding; returns bytes written."""
+    flat = {"step": np.asarray(push["step"])}
+    leaves, treedef = jax.tree_util.tree_flatten(push["dense"])
+    flat["__treedef__"] = np.frombuffer(
+        repr(treedef).encode(), dtype=np.uint8
+    )
+    for i, leaf in enumerate(leaves):
+        flat[f"dense_{i}"] = np.asarray(leaf)
+    for k, d in push["tables"].items():
+        flat[f"ids::{k}"] = d["ids"]
+        flat[f"rows::{k}"] = d["rows"]
+    buf = io.BytesIO()
+    np.savez(buf, **flat)
+    data = buf.getvalue()
+    tmp = path + ".tmp"
+    with open(tmp, "wb") as f:
+        f.write(data)
+    os.replace(tmp, path)  # atomic: a pulling replica never sees a torn file
+    return len(data)
+
+
+def load_push(path: str, dense_like) -> Dict:
+    """``dense_like``: any params tree with the target dense structure (the
+    receiver's current params work — tables are ignored)."""
+    z = np.load(path)
+    dense_ref, _ = _split(dense_like)
+    leaves, treedef = jax.tree_util.tree_flatten(dense_ref)
+    n = len(leaves)
+    dense = jax.tree_util.tree_unflatten(
+        treedef, [z[f"dense_{i}"] for i in range(n)]
+    )
+    tables = {}
+    for key in z.files:
+        if key.startswith("ids::"):
+            k = key[5:]
+            tables[k] = {"ids": z[key], "rows": z[f"rows::{k}"]}
+    return {"step": int(z["step"]), "dense": dense, "tables": tables}
