@@ -382,6 +382,13 @@ def make_onetrans_replica(
     dbg_obs = np.zeros(total, np.float32) if dbg else None
     dbg_cvr = np.zeros(total, np.float32) if dbg else None
     dbg_cvr_obs = np.zeros(total, np.float32) if dbg else None
+    # per-term decomposition (signal-calibration tooling): each structural
+    # term alone, so its single-term AUC — the bootstrap signal a model can
+    # reach through that term — is measurable per weighting
+    dbg_terms = (
+        {k: np.zeros(total, np.float32)
+         for k in ("match", "obs_affinity", "order", "cross")} if dbg else None
+    )
 
     # logit weights: calibrated so the Bayes ceiling (AUC of the noise-free
     # structural logit against the sampled labels) sits at ≈0.82 — just above
@@ -544,6 +551,10 @@ def make_onetrans_replica(
                 + w_price * price_n + w_hour * hour_n
             )
             dbg_obs[sl] = obs_struct
+            dbg_terms["match"][sl] = match
+            dbg_terms["obs_affinity"][sl] = obs_aff
+            dbg_terms["order"][sl] = order_t if w_order else 0.0
+            dbg_terms["cross"][sl] = cross_t if w_cross else 0.0
             # CVR oracles (VERDICT round-4 item 4): the Bayes-optimal score
             # for the UNCONDITIONAL cvr label (positive only when clicked
             # AND converted) is P(click)·P(convert|click)
@@ -573,6 +584,7 @@ def make_onetrans_replica(
         debug_out["is_val"] = is_val
         debug_out["y_ctr"] = y_ctr
         debug_out["y_cvr"] = y_cvr
+        debug_out["terms"] = dbg_terms
 
     def subset(mask: np.ndarray) -> SyntheticRankingData:
         return SyntheticRankingData(
