@@ -168,6 +168,7 @@ def run_onetrans(
     replica_version: str = "v1",
     val_frac: float = 0.05,
     v2_overrides: Optional[dict] = None,
+    bias_init: bool = True,
 ) -> dict:
     """``mesh_devices`` > 0 trains under a data-parallel mesh of that many
     devices (virtual CPU devices in CI — the multi-chip quality proof;
@@ -307,6 +308,20 @@ def run_onetrans(
         # into `base` too, so the ns_only anchor config below inherits it
         base["sparse_lr_warmup_steps"] = sparse_warmup_steps
         cfg = get_config("ranking_base", **base)
+    if bias_init:
+        # label-prior head-bias init (round-5 stabilizer): start every
+        # model's task logits at the TRAIN split's base-rate logit. With a
+        # zero bias the first epoch's gradients are dominated by dragging
+        # all logits to the rare-positive prior — measured to flip
+        # low-base-rate runs (replica v2, base 0.163) into a stall basin on
+        # every seed probed. Applied identically to OneTrans and DIN.
+        rates = [float(tr_data.labels[t].mean()) for t in cfg.tasks]
+        priors = tuple(
+            float(np.log(max(r, 1e-6) / max(1.0 - r, 1e-6))) for r in rates
+        )
+        base["task_logit_bias_init"] = priors
+        cfg = get_config("ranking_base", **base)
+        _log(f"label-prior head bias init: {dict(zip(cfg.tasks, priors))}")
 
     # capped val subset for the per-epoch convergence curve + checkpoint
     # selection (streaming AUC; final numbers use the full TEST split +
@@ -519,6 +534,9 @@ def main():
                     help="override REPLICA_V2's cross-behavior weight")
     ap.add_argument("--v2-alpha", type=float, default=None,
                     help="override REPLICA_V2's intercept (base rate)")
+    ap.add_argument("--no-bias-init", action="store_true",
+                    help="disable the label-prior head-bias init (the "
+                         "round-5 low-base-rate bootstrap stabilizer)")
     ap.add_argument("--val-frac", type=float, default=0.05,
                     help="held-out validation slice (time-ordered, before "
                          "the test tail) for curves + non-oracle "
@@ -550,6 +568,7 @@ def main():
                     ("cross", args.v2_cross), ("alpha", args.v2_alpha),
                 ) if v is not None
             } or None,
+            bias_init=not args.no_bias_init,
         )
     print(json.dumps(report, indent=2, default=float))
     if args.output:

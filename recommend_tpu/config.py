@@ -181,6 +181,13 @@ class RankingConfig:
     # tasks (config.py:36-37)
     tasks: Tuple[str, ...] = ("ctr", "cvr")
     task_head_hidden: int = 128
+    # per-task output-bias init (same order as `tasks`), e.g. the label-prior
+    # logit log(p/(1-p)). With the default zero bias the whole network spends
+    # its first epoch dragging every logit to the (rare-positive) prior —
+    # large correlated gradients through the trunk and embedding tables that
+    # measurably flip the training trajectory into a stall basin at low base
+    # rates (round-5 replica-v2 probes). Standard CTR-model practice.
+    task_logit_bias_init: Optional[Tuple[float, ...]] = None
 
     # LLM4Rec semantic side-features (llm4rec/semantic_distill/readme.md):
     # precomputed dense embeddings (distilled offline from an LLM) fed into

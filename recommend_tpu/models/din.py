@@ -85,13 +85,17 @@ class DINRankingModel(nn.Module):
             for i, h in enumerate(self.deep_hidden)
         ]
         self.dropout = nn.Dropout(cfg.dropout_rate)
+        bias0 = cfg.task_logit_bias_init or (0.0,) * len(cfg.tasks)
         self.heads = {
             t: [
                 nn.Dense(cfg.task_head_hidden, name=f"head_{t}_hidden",
                          param_dtype=pdt),
-                nn.Dense(1, name=f"head_{t}_out", param_dtype=pdt),
+                # label-prior bias init — identical treatment to
+                # RankingModel so the comparator protocol stays fair
+                nn.Dense(1, name=f"head_{t}_out", param_dtype=pdt,
+                         bias_init=nn.initializers.constant(b0)),
             ]
-            for t in cfg.tasks
+            for t, b0 in zip(cfg.tasks, bias0)
         }
 
     def _cross(self, x0: jax.Array) -> jax.Array:

@@ -309,12 +309,18 @@ class RankingModel(nn.Module):
             block_cls(cfg, name=f"block_{i}") for i in range(cfg.num_layers)
         ]
         self.final_norm = RMSNorm(name="final_norm", param_dtype=pdt)
+        bias0 = cfg.task_logit_bias_init or (0.0,) * len(cfg.tasks)
         self.heads = {
             t: [
                 nn.Dense(cfg.task_head_hidden, name=f"head_{t}_hidden", param_dtype=pdt),
-                nn.Dense(1, name=f"head_{t}_out", param_dtype=pdt),
+                # label-prior bias init (cfg.task_logit_bias_init): start at
+                # the base-rate logit so epoch-1 gradients carry signal, not
+                # the prior (the zero-bias drag measurably flips low-base-
+                # rate runs into a stall basin — round-5 replica-v2 probes)
+                nn.Dense(1, name=f"head_{t}_out", param_dtype=pdt,
+                         bias_init=nn.initializers.constant(b0)),
             ]
-            for t in cfg.tasks
+            for t, b0 in zip(cfg.tasks, bias0)
         }
 
     def _apply_heads(self, last_token: jax.Array) -> Dict[str, jax.Array]:
