@@ -168,7 +168,8 @@ def run_onetrans(
     replica_version: str = "v1",
     val_frac: float = 0.05,
     v2_overrides: Optional[dict] = None,
-    bias_init: bool = True,
+    bias_init: bool = False,
+    din_epochs: int = 0,
 ) -> dict:
     """``mesh_devices`` > 0 trains under a data-parallel mesh of that many
     devices (virtual CPU devices in CI — the multi-chip quality proof;
@@ -411,9 +412,14 @@ def run_onetrans(
     if "din" in baselines:
         # the paper's actual Table-2 comparator class: DCNv2 cross network +
         # DIN target attention over the behavior sequences — sequence-AWARE
-        # (translation:199-207); models/din.py
+        # (translation:199-207); models/din.py. ``din_epochs`` caps its
+        # budget: DIN's best-val checkpoint lands at epoch ≤3 in every
+        # observed run (round 4 + round 5), so extra epochs only move its
+        # FINAL (post-peak-decline) number; the SELECTION rule — best-val
+        # checkpoint on the identical split — is the same for every model.
         results["din"] = train_and_eval(
-            cfg, "DCNv2+DIN baseline (sequence-aware)", epochs,
+            cfg, "DCNv2+DIN baseline (sequence-aware)",
+            min(epochs, din_epochs) if din_epochs else epochs,
             model=DINRankingModel(cfg),
         )
     if "ns_only" in baselines:
@@ -534,9 +540,16 @@ def main():
                     help="override REPLICA_V2's cross-behavior weight")
     ap.add_argument("--v2-alpha", type=float, default=None,
                     help="override REPLICA_V2's intercept (base rate)")
-    ap.add_argument("--no-bias-init", action="store_true",
-                    help="disable the label-prior head-bias init (the "
-                         "round-5 low-base-rate bootstrap stabilizer)")
+    ap.add_argument("--din-epochs", type=int, default=0,
+                    help="epoch cap for the DIN comparator (0 = same as "
+                         "--epochs); its best-val peak is epoch <=3 in every"
+                         " observed run")
+    ap.add_argument("--bias-init", action="store_true",
+                    help="label-prior head-bias init. Round-5 probes: did "
+                         "NOT rescue the replica-v2 stall, and runs with it "
+                         "collapsed at epoch 2 on BOTH replicas (v1+wd, "
+                         "v2-tuned) — off by default pending the J-probe "
+                         "isolation")
     ap.add_argument("--val-frac", type=float, default=0.05,
                     help="held-out validation slice (time-ordered, before "
                          "the test tail) for curves + non-oracle "
@@ -568,7 +581,8 @@ def main():
                     ("cross", args.v2_cross), ("alpha", args.v2_alpha),
                 ) if v is not None
             } or None,
-            bias_init=not args.no_bias_init,
+            bias_init=args.bias_init,
+            din_epochs=args.din_epochs,
         )
     print(json.dumps(report, indent=2, default=float))
     if args.output:
