@@ -39,6 +39,13 @@ def main():
     p.add_argument("--criteo", default=None, metavar="TSV",
                    help="train on the Criteo Kaggle train.txt (NS-only CTR; "
                         "--config is ignored, criteo_ranking_config is used)")
+    p.add_argument("--push-dir", default=None, metavar="DIR",
+                   help="demonstrate the minute-level online-update loop: "
+                        "track touched embedding rows during training and "
+                        "write an incremental parameter push "
+                        "(serving.param_push) a serving replica applies "
+                        "with engine.apply_push — MB-scale vs the full "
+                        "checkpoint")
     p.add_argument("--tame-optimizer", action="store_true",
                    help="small-scale-friendly lrs instead of the paper's")
     args = p.parse_args()
@@ -86,10 +93,27 @@ def main():
         checkpoint_dir=os.path.join(args.model_dir, "ckpt"),
         log_dir=os.path.join(args.model_dir, "logs"),
     )
+    tracker = None
+    if args.push_dir:
+        from recommend_tpu.serving.param_push import PushTracker
+
+        tracker = PushTracker(cfg)
+        train_iter = tracker.wrap(train_iter)
     state = trainer.train(
         train_iter, args.steps, val_fn=val_fn, eval_every=args.eval_every,
         log_every=max(args.steps // 10, 1), early_stop_patience=args.patience,
     )
+    if tracker is not None:
+        from recommend_tpu.serving.param_push import build_push, save_push
+
+        os.makedirs(args.push_dir, exist_ok=True)
+        push = build_push(
+            state.params, tracker.snapshot(), step=int(state.step)
+        )
+        path = os.path.join(args.push_dir, f"push_{int(state.step):08d}.npz")
+        nbytes = save_push(push, path)
+        print(f"incremental param push: {path} ({nbytes / 2**20:.2f} MB; "
+              f"apply with RankingInferenceEngine.apply_push)")
 
     evaluator = RankingEvaluator(cfg, trainer.model, state.params)
     metrics = evaluator.evaluate(

@@ -152,3 +152,30 @@ def test_get_model_info(setup):
     assert info["total_params"] == info["embedding_params"] + info["dense_params"]
     assert info["embedding_params"] > 0
     assert info["forward_gflops_per_sample"] > 0
+
+
+def test_task_logit_bias_init_lands_in_heads():
+    """cfg.task_logit_bias_init seeds each task's output bias (label-prior
+    init, round 5); default None keeps zero bias for both model families."""
+    import numpy as np
+
+    from recommend_tpu.models.din import DINRankingModel
+
+    cfg = tiny_ranking_cfg(task_logit_bias_init=(-1.64, -2.77))
+    data = make_ranking_data(cfg, num_samples=8, max_seq_per_feature=4, seed=0)
+    batch = next(iter(ranking_batches(data, cfg, batch_size=4, num_epochs=1)))
+    args = (
+        {k: jnp.asarray(v) for k, v in batch["non_seq"].items()},
+        {k: jnp.asarray(v) for k, v in batch["sequences"].items()},
+        {k: jnp.asarray(v) for k, v in batch["seq_valid"].items()},
+    )
+    for model_cls in (RankingModel, DINRankingModel):
+        params = jax.jit(model_cls(cfg).init)(jax.random.key(0), *args)
+        p = params["params"]
+        np.testing.assert_allclose(p["head_ctr_out"]["bias"], [-1.64])
+        np.testing.assert_allclose(p["head_cvr_out"]["bias"], [-2.77])
+    cfg0 = tiny_ranking_cfg()
+    params = jax.jit(RankingModel(cfg0).init)(jax.random.key(0), *args)
+    np.testing.assert_allclose(
+        params["params"]["head_ctr_out"]["bias"], [0.0]
+    )
