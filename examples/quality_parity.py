@@ -407,7 +407,18 @@ def run_onetrans(
         return m
 
     tag = f"OneTrans-{geometry}"
+
+    def _partial_dump(payload):
+        # crash/timeout hardening: a finished 16-epoch model run survives
+        # even if a later baseline is cut off — the queue's timeout budget
+        # covers the sum, not each model
+        path = os.environ.get("QUALITY_PARTIAL_OUT")
+        if path:
+            with open(path, "w") as f:
+                json.dump(payload, f, indent=2, default=float)
+
     full = train_and_eval(cfg, f"{tag} (full, sequences)", epochs)
+    _partial_dump({"onetrans": full, "seed": seed})
     results = {}
     if "din" in baselines:
         # the paper's actual Table-2 comparator class: DCNv2 cross network +
@@ -422,6 +433,7 @@ def run_onetrans(
             min(epochs, din_epochs) if din_epochs else epochs,
             model=DINRankingModel(cfg),
         )
+        _partial_dump({"onetrans": full, "din": results["din"], "seed": seed})
     if "ns_only" in baselines:
         # sequence-BLIND lower anchor (shows where the generator put the
         # signal; NOT the DCNv2+DIN comparator — that is `din` above)
