@@ -57,11 +57,15 @@ def _ranking_engine_setup(n_candidates: int):
     from recommend_tpu.models.ranking import RankingModel
     from recommend_tpu.serving.ranking_service import RankingInferenceEngine
 
+    import os as _os
+
     cfg = get_config(
         "ranking_base", embed_dim=256, num_layers=6, num_heads=4,
         ffn_dim=1024, num_ns_tokens=12,
         pyramid_ratios=(0.5, 0.3, 0.2, 0.1, 0.05, 0.03),
-        dropout_rate=0.0, use_mixed_precision=True,
+        # CPU smoke runs lack the BF16 dot kernel — F32=1 for CI only
+        dropout_rate=0.0,
+        use_mixed_precision=not _os.environ.get("RECOMMEND_TPU_BENCH_F32"),
         feature_embed_dim=128, seq_item_feature_dim=128,
     )
     rng = np.random.default_rng(0)
@@ -267,6 +271,131 @@ def bench_ranking_device_side(
 
     sess = run_chains(session_one, between_chains=engine.maintain)
     report["session_delta_kv_append_device"] = sess
+
+    # SCANNED single-dispatch variant — the transport-free primary number.
+    # Measured reality of the chained mode above: every jitted dispatch
+    # through the axon tunnel blocks ~1 RTT on the host, so chaining can't
+    # hide transport (its p50 ≈ RTT). Here K requests run inside ONE
+    # compiled program (lax.scan): exactly one dispatch + one fetch per
+    # timing sample, so (elapsed − rtt) / K is the serving path's pure
+    # device compute per request — what a COLOCATED server's latency is
+    # made of, directly comparable to the paper's 13.2 ms p99
+    # (translation:240).
+    from jax import lax
+
+    from recommend_tpu.models.ranking import RankingModel
+
+    m = engine.model
+    params = engine.params
+    K = chain_len
+    b = 1
+    while b < n_candidates:
+        b *= 2
+
+    def stacked_request_inputs(k):
+        seqs_l, sv_l, ns_l = [], [], []
+        for _ in range(k):
+            seqs, sv = engine.preprocess_sequences(
+                {sf: rng.integers(0, 1000, size=48).tolist()
+                 for sf in cfg.sequence_features}
+            )
+            cand = make_cands()
+            cand = cand + [cand[-1]] * (b - len(cand))
+            ns = engine._non_seq_arrays([dict(user_ctx, **c) for c in cand])
+            seqs_l.append(seqs)
+            sv_l.append(sv)
+            ns_l.append(ns)
+        stackt = lambda lst: jax.tree_util.tree_map(
+            lambda *xs: jnp.stack(xs), *lst
+        )
+        return stackt(seqs_l), stackt(sv_l), stackt(ns_l)
+
+    def one_request(p, seqs, sv, ns):
+        cache = m.apply(p, seqs, sv, method=RankingModel.encode_s)
+        logits = m.apply(p, cache, ns, method=RankingModel.score_with_cache)
+        return jnp.stack([jax.nn.sigmoid(logits[t]) for t in cfg.tasks])
+
+    scan_req = jax.jit(
+        lambda p, xs: lax.scan(
+            lambda c, x: (c, one_request(p, *x)), 0, xs
+        )[1]
+    )
+    xs = stacked_request_inputs(K)
+    jax.block_until_ready(scan_req(params, xs))  # compile
+    samples = []
+    for _ in range(max(n_chains // 2, 10)):
+        t0 = time.perf_counter()
+        jax.block_until_ready(scan_req(params, xs))
+        samples.append(
+            (time.perf_counter() - t0) * 1000.0
+        )
+    per_req = (np.asarray(samples) - rtt_ms) / K
+    report["kv_cached_request_device_scanned"] = {
+        "per_request_ms_p50": float(np.percentile(per_req, 50)),
+        "per_request_ms_p95": float(np.percentile(per_req, 95)),
+        "per_request_ms_p99": float(np.percentile(per_req, 99)),
+        "k_per_dispatch": K,
+        "samples": len(samples),
+        "note": "one lax.scan dispatch per sample; (elapsed - rtt)/K — "
+                "zero per-request transport by construction",
+    }
+
+    # session path scanned: Δ=1 appends + cached-ext scoring inside one
+    # program, one fold-free extension window (K = slack appends)
+    sf0 = cfg.sequence_features[0]
+    engine.update_session(
+        "scan", {sf: user_seqs[sf] for sf in cfg.sequence_features}
+    )
+    sess0 = engine._sessions["scan"]
+    Ks = engine.slack
+    ids_k = jnp.asarray(
+        rng.integers(0, 1000, size=(Ks, 1, 1)), jnp.int64
+    )
+    valid_k = jnp.ones((Ks, 1, 1), bool)
+    _, _, ns_k = stacked_request_inputs(Ks)
+
+    def sess_body(p, cache, carry, x):
+        ek, ev, cnt = carry
+        ids, valid, ns = x
+        emb = m.apply(p, sf0, ids, method=RankingModel.embed_sequence_items)
+        ek, ev, cnt = m.apply(
+            p, cache, ek, ev, cnt, emb, valid,
+            method=RankingModel.extend_s_cache,
+        )
+        logits = m.apply(
+            p, cache, ek, ev, cnt, ns,
+            method=RankingModel.score_with_cache_ext,
+        )
+        return (ek, ev, cnt), jnp.stack(
+            [jax.nn.sigmoid(logits[t]) for t in cfg.tasks]
+        )
+
+    scan_sess = jax.jit(
+        lambda p, cache, carry, xs: lax.scan(
+            lambda c, x: sess_body(p, cache, c, x), carry, xs
+        )[1]
+    )
+    carry0 = (
+        sess0["ext_k"], sess0["ext_v"], jnp.asarray(0, jnp.int32)
+    )
+    args_s = (params, sess0["cache"], carry0, (ids_k, valid_k, ns_k))
+    jax.block_until_ready(scan_sess(*args_s))  # compile
+    samples = []
+    for _ in range(max(n_chains // 2, 10)):
+        t0 = time.perf_counter()
+        jax.block_until_ready(scan_sess(*args_s))
+        samples.append((time.perf_counter() - t0) * 1000.0)
+    per_req = (np.asarray(samples) - rtt_ms) / Ks
+    report["session_delta_kv_append_device_scanned"] = {
+        "per_request_ms_p50": float(np.percentile(per_req, 50)),
+        "per_request_ms_p95": float(np.percentile(per_req, 95)),
+        "per_request_ms_p99": float(np.percentile(per_req, 99)),
+        "k_per_dispatch": int(Ks),
+        "delta_per_request": 1,
+        "samples": len(samples),
+        "note": "Δ-append + cached scoring inside one scan; "
+                "(elapsed - rtt)/K — zero per-request transport",
+    }
     return report
 
 
